@@ -1,0 +1,300 @@
+"""Labeled LDA (Ramage '09) — TPU-native implementation.
+
+API mirrors the reference class (LabeledLDA.py:49-265) so a reference user
+finds the same surface: ``LabeledLDA(docs, labs, labelset, dicti, alpha,
+beta)``, ``run_training(iters, thinning)``, ``run_test(newdocs, it,
+thinning)``, ``get_phi/get_theta``, ``topwords_per_topic``, ``perplexity``,
+``get_pred(s)`` — but training/test sweeps are compiled JAX scans over dense
+count tensors (see ops/gibbs.py) instead of per-token Python loops.
+
+Numerically deliberate deviations from the reference (documented per
+SURVEY.md §2 "bugs to not replicate"):
+* categorical draws are exact Gumbel-max in log space — no
+  ``prob /= 1.0000000005`` renormalisation loops (LabeledLDA.py:170-171),
+* test-doc z-init falls back to uniform per *slot* rather than per document
+  (LabeledLDA.py:163-167 fails the whole doc if any φ column is all-zero).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.encode import binarize_labels, build_labelmap, encode_bow_types
+from ..ops.gibbs import (
+    LDACounts,
+    foldin_sweep,
+    init_counts,
+    log_likelihood,
+    train_sweep,
+)
+from ..ops.sampling import gumbel_argmax, mask_to_logits
+from .state import (
+    pad_axis,
+    phi_from_counts,
+    running_average,
+    theta_from_counts,
+)
+
+__all__ = ["LabeledLDA"]
+
+
+# --------------------------------------------------------------------------
+# jitted training / test drivers (pure functions of arrays + static config)
+# --------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("iters", "thinning", "alpha", "beta", "perplexity"))
+def _train_loop(
+    key,
+    counts: LDACounts,
+    tok_v,
+    tok_f,
+    labs,
+    topic_mask,
+    iters: int,
+    thinning: int,
+    alpha: float,
+    beta: float,
+    perplexity: bool,
+):
+    """``iters`` Gibbs sweeps with thinned φ/θ averaging (LabeledLDA.py:127-153)."""
+    save = (jnp.arange(iters, dtype=jnp.int32) + 1) % thinning == 0
+    keys = jax.random.split(key, iters)
+    V, K = counts.n_vk.shape
+    D = counts.n_dk.shape[0]
+
+    def body(carry, xs):
+        counts, ph_hat, th_hat, s = carry
+        k_i, save_i = xs
+        counts = train_sweep(k_i, counts, tok_v, tok_f, labs, alpha, beta)
+
+        def on_save(_):
+            cur_ph = phi_from_counts(counts.n_vk, counts.n_k, beta, topic_mask)
+            cur_th = theta_from_counts(counts.n_dk, labs, alpha)
+            s2 = s + 1
+            ph = running_average(ph_hat, cur_ph, s2)
+            th = running_average(th_hat, cur_th, s2)
+            if perplexity:
+                ll, n = log_likelihood(cur_th, cur_ph, tok_v, tok_f)
+                perp = jnp.exp(-ll / jnp.maximum(n.astype(jnp.float32), 1.0))
+            else:
+                perp = jnp.float32(0.0)
+            return ph, th, s2, perp
+
+        def no_save(_):
+            return ph_hat, th_hat, s, jnp.float32(0.0)
+
+        ph_hat, th_hat, s, perp = jax.lax.cond(save_i, on_save, no_save, None)
+        return (counts, ph_hat, th_hat, s), perp
+
+    carry0 = (
+        counts,
+        jnp.zeros((V, K), jnp.float32),
+        jnp.zeros((D, K), jnp.float32),
+        jnp.int32(0),
+    )
+    (counts, ph_hat, th_hat, _), perps = jax.lax.scan(body, carry0, (keys, save))
+    return counts, ph_hat, th_hat, perps
+
+
+@partial(jax.jit, static_argnames=("it", "thinning", "alpha"))
+def _test_loop(key, tok_v, tok_f, log_phi, topic_logits, it: int, thinning: int, alpha: float):
+    """Fold-in inference for held-out docs (LabeledLDA.py:155-212), all docs in
+    parallel: z-init from φ columns, then ``it`` frozen-φ sweeps with thinned
+    averaging of the normalised doc-topic counts."""
+    D, U = tok_v.shape
+    K = log_phi.shape[1]
+    k_init, k_sweeps = jax.random.split(key)
+
+    # --- init (prep4test): z ~ categorical(φ[:, v]), uniform slot fallback
+    init_keys = jax.random.split(k_init, U)
+
+    def init_step(n_dk, xs):
+        v, f, k = xs
+        logits = log_phi[v]  # (D, K)
+        dead = ~jnp.any(jnp.isfinite(logits), axis=1, keepdims=True)
+        logits = jnp.where(dead, topic_logits[None, :], logits)
+        z = gumbel_argmax(k, logits, axis=1)
+        n_dk = n_dk + f[:, None] * jax.nn.one_hot(z, K, dtype=jnp.int32)
+        return n_dk, z
+
+    n_dk, z_t = jax.lax.scan(
+        init_step, jnp.zeros((D, K), jnp.int32), (tok_v.T, tok_f.T, init_keys)
+    )
+    z = z_t.T
+
+    # --- it sweeps with thinned averaging (reference run_test)
+    save = (jnp.arange(it, dtype=jnp.int32) + 1) % thinning == 0
+    keys = jax.random.split(k_sweeps, it)
+
+    def body(carry, xs):
+        z, n_dk, avg, s = carry
+        k_i, save_i = xs
+        z, n_dk = foldin_sweep(k_i, z, n_dk, tok_v, tok_f, log_phi, alpha)
+
+        def on_save(_):
+            tot = n_dk.sum(axis=1, keepdims=True).astype(jnp.float32)
+            cur = n_dk.astype(jnp.float32) / jnp.maximum(tot, 1.0)
+            s2 = s + 1
+            return running_average(avg, cur, s2), s2
+
+        avg, s = jax.lax.cond(save_i, on_save, lambda _: (avg, s), None)
+        return (z, n_dk, avg, s), None
+
+    carry0 = (z, n_dk, jnp.zeros((D, K), jnp.float32), jnp.int32(0))
+    (z, n_dk, avg, _), _ = jax.lax.scan(body, carry0, (keys, save))
+    return avg
+
+
+# --------------------------------------------------------------------------
+
+
+class LabeledLDA:
+    """Labeled LDA with collapsed-Gibbs training on TPU."""
+
+    def __init__(
+        self,
+        docs: Sequence[Sequence[str]],
+        labs: Sequence[Sequence[str]],
+        labelset: Sequence[str],
+        dicti,
+        alpha: float,
+        beta: float,
+        seed: int = 0,
+        k_pad: int = 128,
+    ):
+        self.alpha = float(alpha)
+        self.beta = float(beta)
+        self.dicti = dicti
+        self.labelmap = build_labelmap(labelset)
+        self.K = len(self.labelmap)
+
+        self.vocab = dicti.values()
+        self.w_to_v = dicti.token2id
+        self.v_to_w = dicti.id2token
+        self.V = len(dicti)
+        self.D = len(docs)
+
+        bows = [dicti.doc2bow(doc) for doc in docs]
+        tok_v, tok_f = encode_bow_types(bows)
+        lab_mask = binarize_labels(labs, self.labelmap)
+
+        # pad the topic axis to the TPU lane width; padded topics are masked off
+        self.Kp = ((self.K + k_pad - 1) // k_pad) * k_pad
+        lab_mask = np.pad(lab_mask, ((0, 0), (0, self.Kp - self.K)))
+        self.topic_mask = jnp.asarray(
+            (np.arange(self.Kp) < self.K).astype(np.float32)
+        )
+
+        self.tok_v = jnp.asarray(tok_v)
+        self.tok_f = jnp.asarray(tok_f)
+        self.labs = jnp.asarray(lab_mask)
+
+        self._key = jax.random.PRNGKey(seed)
+        self._key, k0 = jax.random.split(self._key)
+        self.counts = init_counts(k0, self.tok_v, self.tok_f, self.labs, self.V)
+
+        self.ph_hat = jnp.zeros((self.V, self.Kp), jnp.float32)  # (V, K) layout
+        self.th_hat = jnp.zeros((self.D, self.Kp), jnp.float32)
+        self.cur_perplx: List[float] = []
+
+    # ---------------------------------------------------------------- train
+
+    def run_training(self, iters: int, thinning: int, perplexity: bool = True) -> None:
+        self._key, k = jax.random.split(self._key)
+        self.counts, self.ph_hat, self.th_hat, perps = _train_loop(
+            k,
+            self.counts,
+            self.tok_v,
+            self.tok_f,
+            self.labs,
+            self.topic_mask,
+            iters=int(iters),
+            thinning=int(thinning),
+            alpha=self.alpha,
+            beta=self.beta,
+            perplexity=perplexity,
+        )
+        if perplexity:
+            perps = np.asarray(perps)
+            self.cur_perplx.extend(perps[perps > 0].tolist())
+        self._check_ph_hat()
+
+    def _check_ph_hat(self) -> None:
+        """The reference's runtime guards (LabeledLDA.py:146-153)."""
+        ph = np.asarray(self.ph_hat[:, : self.K])
+        if np.any(ph < 0):
+            raise ValueError("A negative value occurred in ph_hat")
+        if np.any(np.isnan(ph)):
+            raise ValueError("A nan has creeped into ph_hat")
+        if np.any(ph.sum(axis=1) == 0):
+            raise ValueError("A word in dictionary has no z-value")
+
+    # ----------------------------------------------------------------- test
+
+    def _encode_test(self, newdocs) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        bows = [self.dicti.doc2bow(doc) for doc in newdocs]
+        tok_v, tok_f = encode_bow_types(bows)
+        return jnp.asarray(tok_v), jnp.asarray(tok_f)
+
+    def run_test(self, newdocs, it: int, thinning: int) -> np.ndarray:
+        """Fold-in θ̂ for held-out documents; returns (n, K) including root."""
+        tok_v, tok_f = self._encode_test(newdocs)
+        log_phi = jnp.where(
+            self.ph_hat > 0, jnp.log(jnp.maximum(self.ph_hat, 1e-38)), -jnp.inf
+        )
+        topic_logits = mask_to_logits(self.topic_mask)
+        self._key, k = jax.random.split(self._key)
+        avg = _test_loop(
+            k,
+            tok_v,
+            tok_f,
+            log_phi,
+            topic_logits,
+            it=int(it),
+            thinning=int(thinning),
+            alpha=self.alpha,
+        )
+        return np.asarray(avg[:, : self.K])
+
+    # ------------------------------------------------------------ estimators
+
+    def get_phi(self) -> np.ndarray:
+        """(K, V) smoothed φ — reference orientation (LabeledLDA.py:231-234)."""
+        phi = phi_from_counts(self.counts.n_vk, self.counts.n_k, self.beta, self.topic_mask)
+        return np.asarray(phi[:, : self.K].T)
+
+    def get_theta(self) -> np.ndarray:
+        """(D, K) label-masked θ (LabeledLDA.py:236-239)."""
+        th = theta_from_counts(self.counts.n_dk, self.labs, self.alpha)
+        return np.asarray(th[:, : self.K])
+
+    # ------------------------------------------------------------ diagnostics
+
+    def get_pred(self, single_th: np.ndarray, n: int = 5):
+        labels = np.array(list(self.labelmap.keys()))
+        top = np.argsort(-single_th)[:n]
+        return list(zip(labels[top], single_th[top]))
+
+    def get_preds(self, all_th: np.ndarray, n: int = 5):
+        return [self.get_pred(all_th[d], n) for d in range(all_th.shape[0])]
+
+    def topwords_per_topic(self, topwords: int = 10):
+        ph = self.get_phi()
+        labels = list(self.labelmap.keys())
+        out = []
+        for k in range(self.K):
+            idx = np.argsort(-ph[k])[:topwords]
+            out.append([labels[k]] + [self.v_to_w[int(v)] for v in idx])
+        return out
+
+    def perplexity(self) -> float:
+        phi = phi_from_counts(self.counts.n_vk, self.counts.n_k, self.beta, self.topic_mask)
+        th = theta_from_counts(self.counts.n_dk, self.labs, self.alpha)
+        ll, n = log_likelihood(th, phi, self.tok_v, self.tok_f)
+        return float(np.exp(-ll / max(int(n), 1)))

@@ -1,0 +1,205 @@
+"""Collapsed-Gibbs sweep kernels (the hot path — SURVEY.md C6/C7/C10).
+
+TPU-first formulation of the reference's per-token Python loops
+(LabeledLDA.py:101-125, 155-212; LocalLDA.py:60-84; CascadeLDA.py:210-247,
+303-344, 397-421):
+
+Documents are dense ``(D, U)`` arrays of (token-type, frequency) slots; a
+sweep is a ``lax.scan`` over the U type positions.  At position ``n`` all D
+documents resample their n-th type **in parallel**:
+
+    decrement f-weighted counts of z_old
+    log p(k) = log labs + log(n_dk + α) + log(n_vk[v] + β) − log(n_k + Vβ)
+    z_new  ~ Gumbel-max(log p)
+    increment f-weighted counts of z_new
+
+Counts are exact throughout (scatter-adds commit each position's updates
+before the next position), so the only deviation from the reference is the
+update *order*: token position-major instead of document-major.  Padding
+slots have f = 0 and are algebraic no-ops.
+
+Layouts: ``n_dk (D, K)``, ``n_vk (V, K)`` — the topic axis K is the TPU lane
+dimension, so per-token access to the topic-word table is a *row*
+gather/scatter.  (The reference stores ``n_k_v (K, V)``; transposed here on
+purpose.)
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .sampling import gumbel_argmax, mask_to_logits
+
+__all__ = ["LDACounts", "init_counts", "train_sweep", "foldin_sweep", "log_likelihood"]
+
+
+class LDACounts(NamedTuple):
+    """Dense Gibbs count state (reference ``n_d_k/n_k_v/n_zk``, LabeledLDA.py:74-76)."""
+
+    z: jax.Array  # (D, U) int32 current topic of each type slot
+    n_dk: jax.Array  # (D, K) int32
+    n_vk: jax.Array  # (V, K) int32
+    n_k: jax.Array  # (K,) int32
+
+
+def _one_hot_i32(z: jax.Array, K: int) -> jax.Array:
+    return jax.nn.one_hot(z, K, dtype=jnp.int32)
+
+
+def init_counts(
+    key: jax.Array,
+    tok_v: jax.Array,  # (D, U) int32
+    tok_f: jax.Array,  # (D, U) int32
+    labs: jax.Array,  # (D, K) float mask
+    V: int,
+) -> LDACounts:
+    """Initialise z from the per-doc label distribution and build count tensors.
+
+    Mirrors the reference init (LabeledLDA.py:85-92): z ~ Categorical over the
+    doc's admissible labels, uniformly.
+    """
+    D, U = tok_v.shape
+    K = labs.shape[1]
+    logits = mask_to_logits(labs)  # (D, K)
+    keys = jax.random.split(key, U)
+
+    def step(carry, xs):
+        n_dk, n_vk, n_k = carry
+        v, f, k = xs
+        z = gumbel_argmax(k, logits, axis=1)  # (D,)
+        fo = f[:, None] * _one_hot_i32(z, K)
+        n_dk = n_dk + fo
+        n_k = n_k + fo.sum(axis=0)
+        n_vk = n_vk.at[v, z].add(f)
+        return (n_dk, n_vk, n_k), z
+
+    carry0 = (
+        jnp.zeros((D, K), jnp.int32),
+        jnp.zeros((V, K), jnp.int32),
+        jnp.zeros((K,), jnp.int32),
+    )
+    (n_dk, n_vk, n_k), z_t = jax.lax.scan(
+        step, carry0, (tok_v.T, tok_f.T, keys)
+    )
+    return LDACounts(z=z_t.T.astype(jnp.int32), n_dk=n_dk, n_vk=n_vk, n_k=n_k)
+
+
+def train_sweep(
+    key: jax.Array,
+    counts: LDACounts,
+    tok_v: jax.Array,
+    tok_f: jax.Array,
+    labs: jax.Array,
+    alpha: float,
+    beta: float,
+) -> LDACounts:
+    """One full collapsed-Gibbs sweep over all (doc, type) slots.
+
+    Posterior per slot (reference LabeledLDA.py:113-117):
+        p(z=k) ∝ labs_k · (n_dk + α) · (n_vk[v] + β) / (n_k + V·β)
+    """
+    D, U = tok_v.shape
+    K = counts.n_dk.shape[1]
+    V = counts.n_vk.shape[0]
+    log_labs = mask_to_logits(labs)
+    vbeta = jnp.float32(V * beta)
+    keys = jax.random.split(key, U)
+
+    def step(carry, xs):
+        n_dk, n_vk, n_k = carry
+        v, f, z_old, k = xs  # (D,), (D,), (D,), key
+        fo = f[:, None] * _one_hot_i32(z_old, K)
+        n_dk = n_dk - fo
+        n_k = n_k - fo.sum(axis=0)
+        n_vk = n_vk.at[v, z_old].add(-f)
+
+        cv = n_vk[v]  # (D, K) fresh topic-word counts for each doc's word
+        logp = (
+            log_labs
+            + jnp.log(n_dk.astype(jnp.float32) + alpha)
+            + jnp.log(cv.astype(jnp.float32) + beta)
+            - jnp.log(n_k.astype(jnp.float32) + vbeta)
+        )
+        z_new = gumbel_argmax(k, logp, axis=1)
+        z_new = jnp.where(f > 0, z_new, z_old)
+
+        fn = f[:, None] * _one_hot_i32(z_new, K)
+        n_dk = n_dk + fn
+        n_k = n_k + fn.sum(axis=0)
+        n_vk = n_vk.at[v, z_new].add(f)
+        return (n_dk, n_vk, n_k), z_new
+
+    (n_dk, n_vk, n_k), z_t = jax.lax.scan(
+        step,
+        (counts.n_dk, counts.n_vk, counts.n_k),
+        (tok_v.T, tok_f.T, counts.z.T, keys),
+    )
+    return LDACounts(z=z_t.T.astype(jnp.int32), n_dk=n_dk, n_vk=n_vk, n_k=n_k)
+
+
+def foldin_sweep(
+    key: jax.Array,
+    z: jax.Array,  # (D, U)
+    n_dk: jax.Array,  # (D, K)
+    tok_v: jax.Array,
+    tok_f: jax.Array,
+    log_phi: jax.Array,  # (V, K) log topic-word distribution (frozen)
+    alpha,  # scalar or (K,) — HSLDA passes the vector α·β (HSLDA.py:358)
+    beta_fallback: Optional[float] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """One fold-in Gibbs sweep for held-out docs with φ **frozen**.
+
+    Posterior (reference LabeledLDA.py:185-194): p(z=k) ∝ (n_dk + α)·φ[v, k].
+    With ``beta_fallback`` set, rows whose posterior is identically zero are
+    recomputed as (n_dk + α)·(φ[v] + β) — CascadeLDA's degenerate-φ recovery
+    (CascadeLDA.py:224-229).
+    """
+    D, U = tok_v.shape
+    K = n_dk.shape[1]
+    keys = jax.random.split(key, U)
+    alpha = jnp.asarray(alpha, jnp.float32)
+
+    def step(n_dk, xs):
+        v, f, z_old, k = xs
+        fo = f[:, None] * _one_hot_i32(z_old, K)
+        n_dk = n_dk - fo
+
+        lp_doc = jnp.log(n_dk.astype(jnp.float32) + alpha)  # (D, K)
+        lphi = log_phi[v]  # (D, K)
+        logp = lp_doc + lphi
+        if beta_fallback is not None:
+            dead = ~jnp.any(jnp.isfinite(logp), axis=1, keepdims=True)
+            logp_fb = lp_doc + jnp.log(jnp.exp(lphi) + beta_fallback)
+            logp = jnp.where(dead, logp_fb, logp)
+        z_new = gumbel_argmax(k, logp, axis=1)
+        z_new = jnp.where(f > 0, z_new, z_old)
+
+        n_dk = n_dk + f[:, None] * _one_hot_i32(z_new, K)
+        return n_dk, z_new
+
+    n_dk, z_t = jax.lax.scan(step, n_dk, (tok_v.T, tok_f.T, z.T, keys))
+    return z_t.T.astype(jnp.int32), n_dk
+
+
+def log_likelihood(
+    theta: jax.Array,  # (D, K)
+    phi_vk: jax.Array,  # (V, K)
+    tok_v: jax.Array,
+    tok_f: jax.Array,
+) -> Tuple[jax.Array, jax.Array]:
+    """Σ_{d,v} f · log ⟨θ_d, φ_v⟩ and the total token count.
+
+    Used for training perplexity exp(−ll/N) (reference LabeledLDA.py:256-265).
+    """
+
+    def step(acc, xs):
+        v, f = xs
+        inner = jnp.sum(theta * phi_vk[v], axis=1)  # (D,)
+        safe = jnp.where(f > 0, jnp.log(jnp.maximum(inner, 1e-38)), 0.0)
+        return acc + jnp.sum(f * safe), None
+
+    acc, _ = jax.lax.scan(step, jnp.float32(0.0), (tok_v.T, tok_f.T))
+    return acc, tok_f.sum()
