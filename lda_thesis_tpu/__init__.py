@@ -7,6 +7,6 @@ ARCHITECTURE.md and SURVEY.md.
 
 __version__ = "0.1.0"
 
-from . import data, models, ops  # noqa: F401
+from . import data, eval, models, ops, parallel  # noqa: F401
 
-__all__ = ["data", "models", "ops", "__version__"]
+__all__ = ["data", "eval", "models", "ops", "parallel", "__version__"]

@@ -1,0 +1,65 @@
+"""LocalLDA unit tests (reference LocalLDA.py:11-130)."""
+
+import numpy as np
+import pytest
+
+from lda_thesis_tpu.data.textproc import prep_doc, split_sentences
+from lda_thesis_tpu.models.local_lda import LocalLDA
+
+DOCS = [
+    "The cat sat on the mat. The dog barked loudly! Cats and dogs are pets.",
+    "Stock markets rallied today. Investors bought equities, bonds fell.",
+    "The economy grew strongly. Inflation remained low - growth continued.",
+    "Dogs chase cats around the garden. The garden has many flowers.",
+] * 4
+
+
+def test_sentence_splitting_not_char_level():
+    s = split_sentences("Hello world. Second sentence!")
+    assert "Hello world" in s[0]
+    # guards against the reference's empty-alternation regex bug
+    assert all(len(x) != 1 for x in s if x.strip())
+
+
+def test_prep_doc_filters():
+    toks = prep_doc("The CAT!! sat, on a mat with numbers 123x ok")
+    assert "cat" in toks and "sat" in toks and "mat" in toks
+    assert "the" not in toks and "on" not in toks  # stopwords
+    assert all(len(t) > 2 for t in toks)
+
+
+def test_train_and_estimators():
+    m = LocalLDA(DOCS, alpha=0.5, beta=0.1, K=4, seed=0)
+    assert m.D > len(DOCS)  # sentence segmentation multiplied docs
+    m.run_training(10, 5)
+
+    ph = m.get_phi()
+    th = m.get_theta()
+    assert ph.shape == (4, m.V)
+    assert th.shape == (m.D, 4)
+    np.testing.assert_allclose(ph.sum(axis=1), 1.0, rtol=1e-4)
+    np.testing.assert_allclose(th.sum(axis=1), 1.0, rtol=1e-4)
+    assert m.ph_hat.shape == (4, m.V)
+    np.testing.assert_allclose(m.ph_hat.sum(axis=1), 1.0, rtol=1e-4)
+
+    top = m.print_topwords(5)
+    assert len(top) == 4 and all(len(row) == 6 for row in top)
+    assert m.perplexity() > 1.0
+
+
+def test_counts_conserved():
+    m = LocalLDA(DOCS, alpha=0.5, beta=0.1, K=4, seed=1)
+    total = int(np.asarray(m.tok_f).sum())
+    m.run_training(5, 5)
+    assert int(np.asarray(m.counts.n_dk).sum()) == total
+    assert int(np.asarray(m.counts.n_vk).sum()) == total
+    np.testing.assert_array_equal(
+        np.asarray(m.counts.n_vk).sum(axis=0), np.asarray(m.counts.n_k)
+    )
+
+
+def test_whole_doc_mode():
+    m = LocalLDA(DOCS, alpha=0.5, beta=0.1, K=3, local_lda=False, seed=0)
+    assert m.D <= len(DOCS)  # only >1-type docs kept, no sentence explosion
+    m.run_training(3, 3)
+    assert m.get_theta().shape[1] == 3
