@@ -1,0 +1,90 @@
+"""HSLDA train/eval driver.
+
+The reference ships HSLDA library-only (no CLI — SURVEY.md §1); this driver
+mirrors its module-level pipeline (HSLDA.py:397-417: non-shuffled 90/10
+split, prefix-expanded labels, train, batch test) and adds the same ranking
+metrics the other drivers report.
+
+    python -m lda_thesis_tpu.cli.evaluate_hslda \
+        -f abstracts_data.csv -d 3 -k 15 -i 25 -s 5 --test-it 250 --test-s 25
+"""
+
+from __future__ import annotations
+
+import argparse
+import pickle
+import time
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("-f", dest="file", required=True, help="dataset location")
+    p.add_argument("-d", dest="lvl", type=int, default=3, help="depth of label level")
+    p.add_argument("-k", dest="K", type=int, default=15, help="# latent topics")
+    p.add_argument("-i", dest="it", type=int, required=True, help="training iterations")
+    p.add_argument("-s", dest="thinning", type=int, default=0, help="save frequency")
+    p.add_argument("--test-it", type=int, default=250, help="test iterations")
+    p.add_argument("--test-s", type=int, default=25, help="test thinning")
+    p.add_argument("--opt", type=int, default=1, choices=(1, 2, 3),
+                   help="z-coupling variant (HSLDA.py sample_z opt)")
+    p.add_argument("--alpha-prime", type=float, default=1.0)
+    p.add_argument("--alpha", type=float, default=1.0)
+    p.add_argument("--gamma", type=float, default=1.0)
+    p.add_argument("--mu", type=float, default=0.0)
+    p.add_argument("--sigma", type=float, default=1.0)
+    p.add_argument("--xi", type=float, default=0.0)
+    p.add_argument("-p", dest="pickle", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def main(argv=None) -> None:
+    opt = build_parser().parse_args(argv)
+    if opt.thinning == 0:
+        opt.thinning = opt.it
+
+    from ..data.corpus import load_corpus, split_data
+    from ..eval.metrics import binary_yreal, evaluate_ranking
+    from ..models.hslda import HSLDA
+
+    t0 = time.time()
+    corpus = load_corpus(opt.file, d=opt.lvl, mode="prefix")
+    # HSLDA's split is NOT shuffled (reference HSLDA.py:397-403)
+    train, test = split_data(corpus, shuffle=False)
+
+    print("Starting training...")
+    model = HSLDA(
+        train.docs, train.labs, list(train.labelset), k=opt.K,
+        alpha_prime=opt.alpha_prime, alpha=opt.alpha, gamma=opt.gamma,
+        mu=opt.mu, sigma=opt.sigma, xi=opt.xi, seed=opt.seed,
+    )
+    model.run_training(it=opt.it, thinning=opt.thinning, opt=opt.opt)
+
+    print("Testing test data...")
+    scores = model.run_tests(test.docs, it=opt.test_it, s=opt.test_s)
+
+    if opt.pickle:
+        pickle.dump(model, open("HSLDA_model.pkl", "wb"))
+        pickle.dump(scores, open("HSLDA_scores.pkl", "wb"))
+
+    print("Model:               HSLDA (TPU)")
+    print("Corpus:             ", opt.file)
+    print("Label depth         ", opt.lvl)
+    print("# of Gibbs samples: ", int(opt.it))
+    print("-----------------------------------")
+
+    y_bin = binary_yreal(test.labs, model.labelmap)
+    y_bin, sc = y_bin[:, 1:], scores[:, 1:]  # drop the root column
+    valid = (y_bin.sum(axis=1) != 0)
+    m = evaluate_ranking(sc[valid], y_bin[valid])
+    print("AUC ROC:                 ", m["auc_roc"])
+    print("one error:               ", m["one_hit"])
+    print("two error:               ", m["two_hit"])
+    print("F1 score (macro average) ", m["f1_macro"])
+    print(f"total wall time: {time.time()-t0:.1f}s")
+
+
+if __name__ == "__main__":
+    main()

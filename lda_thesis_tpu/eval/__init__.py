@@ -1,5 +1,6 @@
 """Multilabel ranking evaluation and CascadeLDA tree-probability reassembly."""
 
+from .cascade import setup_theta
 from .metrics import (
     binary_yreal,
     evaluate_ranking,
@@ -11,6 +12,7 @@ from .metrics import (
 )
 
 __all__ = [
+    "setup_theta",
     "binary_yreal",
     "evaluate_ranking",
     "get_f1",

@@ -1,0 +1,365 @@
+"""CascadeLDA — label-tree ensemble of Labeled-LDA models (thesis novel model).
+
+Reference: CascadeLDA.py:56-344 (tree trainer + cascaded test inference) and
+its per-node ensemble member SubLDA (CascadeLDA.py:347-434).
+
+**TPU-native redesign.** The reference trains ~125 small SubLDA models
+*sequentially*, one per label-tree node (CascadeLDA.py:135-184).  Here each
+tree level is trained as **one joint masked Labeled-LDA**: every
+(document, node) membership becomes a row whose label mask admits only
+{node-local root} ∪ (node's children present in the document).  Because the
+masks make topic columns disjoint across nodes — a row's posterior touches
+only its own node's topics (n_dk row, n_vk columns, n_k entries) — the joint
+sweep factorises *exactly* into the independent per-node trainings, but runs
+as a single batched kernel per level instead of ~125 Python-loop trainings.
+
+Test inference (``test_down_tree``) batches the reference's per-document
+recursion level-by-level across all documents: every (document, surviving
+node) pair becomes one task row of :func:`ops.gibbs.cascade_test_loop`.
+
+Reference bugs deliberately not replicated (SURVEY.md §2):
+* SubLDA's count init iterates ``zip(doc, zets, freqs)`` where ``doc`` is
+  the (id, freq) tuple list, so ``n_k_v[z, (id, freq)] += f`` fancy-indexes
+  *two* columns — permanently corrupting the topic-word table at small
+  column ids (CascadeLDA.py:381-385).  We initialise counts exactly.
+* the multinomial renormalisation hacks (``prob /= 1.0000005``,
+  CascadeLDA.py:199-201,231-233) — Gumbel-max draws are exact.
+* unsmoothed φ rows for empty topics are 0 instead of NaN
+  (CascadeLDA.py:394-395 divides by a zero row sum).
+"""
+
+from __future__ import annotations
+
+import re
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.encode import encode_bow_types
+from ..ops.gibbs import cascade_test_loop, init_counts, train_sweep
+from ..ops.sampling import mask_to_logits
+from .state import phi_unsmoothed, running_average
+
+__all__ = ["CascadeLDA"]
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@partial(jax.jit, static_argnames=("iters", "thinning", "alpha", "beta"))
+def _level_train_loop(key, counts, tok_v, tok_f, labs, iters: int,
+                      thinning: int, alpha: float, beta: float):
+    """Joint level training with thinned averaging of *unsmoothed* φ
+    (SubLDA.run_training, CascadeLDA.py:423-434)."""
+    save = (jnp.arange(iters, dtype=jnp.int32) + 1) % thinning == 0
+    keys = jax.random.split(key, iters)
+    V, K = counts.n_vk.shape
+
+    def body(carry, xs):
+        counts, ph_hat, s = carry
+        k_i, save_i = xs
+        counts = train_sweep(k_i, counts, tok_v, tok_f, labs, alpha, beta)
+
+        def on_save(_):
+            s2 = s + 1
+            return running_average(ph_hat, phi_unsmoothed(counts.n_vk), s2), s2
+
+        ph_hat, s = jax.lax.cond(save_i, on_save, lambda _: (ph_hat, s), None)
+        return (counts, ph_hat, s), None
+
+    carry0 = (counts, jnp.zeros((V, K), jnp.float32), jnp.int32(0))
+    (counts, ph_hat, _), _ = jax.lax.scan(body, carry0, (keys, save))
+    return counts, ph_hat
+
+
+class CascadeLDA:
+    """Cascaded Labeled-LDA over the 3-level JEL label tree."""
+
+    def __init__(
+        self,
+        docs: Sequence[Sequence[str]],
+        labs: Sequence[Sequence[str]],
+        labelset: Sequence[str],
+        dicti,
+        alpha: float = 0.001,
+        beta: float = 0.001,
+        seed: int = 0,
+    ):
+        self.alpha = float(alpha)
+        self.beta = float(beta)
+        self.dicti = dicti
+
+        lablist = ["root"] + [x for x in labelset if x != "root"]
+        self.labelmap: Dict[str, int] = {l: i for i, l in enumerate(lablist)}
+        self.lablist = lablist
+        self.K = len(lablist)
+
+        self.w_to_v = dicti.token2id
+        self.v_to_w = dicti.id2token
+        self.V = len(dicti)
+        self.D = len(docs)
+
+        bows = [dicti.doc2bow(doc) for doc in docs]
+        self.tok_v, self.tok_f = encode_bow_types(bows)  # host np arrays
+
+        # per-depth label views (reference CascadeLDA.py:87-95)
+        self.rawlabs = [list(lab) for lab in labs]
+        self.l1 = [[x for x in lab if len(x) == 1] for lab in labs]
+        self.l2 = [[x for x in lab if len(x) == 2] for lab in labs]
+        self.l3 = [[x for x in lab if len(x) == 3] for lab in labs]
+        self.lablist_l1 = [x for x in lablist if len(x) == 1]
+        self.lablist_l2 = [x for x in lablist if len(x) == 2]
+        self.lablist_l3 = [x for x in lablist if len(x) == 3]
+
+        # global label-word table, reference orientation (K, V)
+        self.ph = np.zeros((self.K, self.V), dtype=np.float32)
+
+        self._key = jax.random.PRNGKey(seed)
+
+    # ------------------------------------------------------------------ train
+
+    def _children(self, parent: str) -> List[str]:
+        lvl = {1: self.lablist_l2, 2: self.lablist_l3}[len(parent)]
+        return [x for x in lvl if x[: len(parent)] == parent]
+
+    def _level_rows(
+        self, parents: List[str]
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, List[str], List[str]]:
+        """Build the joint (doc, node) row batch for one tree level.
+
+        Returns (row_doc_idx, mask (R, Klvl), node_roots, children) where the
+        level topic axis is [one local root per parent] + [all children].
+        """
+        n_par = len(parents)
+        children: List[str] = [c for p in parents for c in self._children(p)]
+        child_col = {c: n_par + j for j, c in enumerate(children)}
+        Klvl = n_par + len(children)
+
+        row_doc: List[int] = []
+        row_root: List[int] = []
+        row_children: List[List[int]] = []
+        for pi, p in enumerate(parents):
+            lab_level = {1: self.l2, 2: self.l3}[len(p)]
+            for d in range(self.D):
+                if p not in self.rawlabs[d]:
+                    continue
+                # node-local labels: only this parent's children; everything
+                # else collapses into the node root (CascadeLDA.py:119-126)
+                kept = [x for x in lab_level[d] if x[: len(p)] == p]
+                row_doc.append(d)
+                row_root.append(pi)
+                row_children.append([child_col[c] for c in kept])
+
+        R = len(row_doc)
+        mask = np.zeros((R, Klvl), dtype=np.float32)
+        for r in range(R):
+            mask[r, row_root[r]] = 1.0
+            mask[r, row_children[r]] = 1.0
+        return np.asarray(row_doc), mask, np.asarray(row_root), parents, children
+
+    def _train_level(self, parents: List[str], it: int, s: int) -> None:
+        """Jointly train all nodes of one level; splice children rows (and,
+        for the root level, the root row) into the global ph table."""
+        row_doc, mask, row_root, parents, children = self._level_rows(parents)
+        if len(children) == 0 or len(row_doc) == 0:
+            return
+        Klvl = mask.shape[1]
+        Kp = _round_up(max(Klvl, 8), 128)
+        mask = np.pad(mask, ((0, 0), (0, Kp - Klvl)))
+
+        tok_v = jnp.asarray(self.tok_v[row_doc])
+        tok_f = jnp.asarray(self.tok_f[row_doc])
+        labs = jnp.asarray(mask)
+
+        self._key, k0, k1 = jax.random.split(self._key, 3)
+        counts = init_counts(k0, tok_v, tok_f, labs, self.V)
+        _, ph_hat = _level_train_loop(
+            k1, counts, tok_v, tok_f, labs,
+            iters=int(it), thinning=int(s),
+            alpha=self.alpha, beta=self.beta,
+        )
+        ph_hat = np.asarray(ph_hat)  # (V, Kp)
+
+        n_par = len(parents)
+        for j, c in enumerate(children):
+            self.ph[self.labelmap[c], :] = ph_hat[:, n_par + j]
+        if parents == ["root"]:
+            # only the root level keeps its local-root row (CascadeLDA.py:146-147)
+            self.ph[0, :] = ph_hat[:, 0]
+
+    def go_down_tree(self, it: int, s: int) -> None:
+        """Train the full tree: root level, then level-1 and level-2 parents —
+        each level as one joint batched training (CascadeLDA.py:135-184)."""
+        # root node: children = depth-1 labels, corpus = all docs
+        row_mask = np.zeros((self.D, 1 + len(self.lablist_l1)), np.float32)
+        row_mask[:, 0] = 1.0
+        col = {c: 1 + j for j, c in enumerate(self.lablist_l1)}
+        for d in range(self.D):
+            for x in self.l1[d]:
+                row_mask[d, col[x]] = 1.0
+        Klvl = row_mask.shape[1]
+        Kp = _round_up(max(Klvl, 8), 128)
+        labs = jnp.asarray(np.pad(row_mask, ((0, 0), (0, Kp - Klvl))))
+        tok_v = jnp.asarray(self.tok_v)
+        tok_f = jnp.asarray(self.tok_f)
+        self._key, k0, k1 = jax.random.split(self._key, 3)
+        counts = init_counts(k0, tok_v, tok_f, labs, self.V)
+        _, ph_hat = _level_train_loop(
+            k1, counts, tok_v, tok_f, labs,
+            iters=int(it), thinning=int(s), alpha=self.alpha, beta=self.beta,
+        )
+        ph_hat = np.asarray(ph_hat)
+        self.ph[0, :] = ph_hat[:, 0]
+        for j, c in enumerate(self.lablist_l1):
+            self.ph[self.labelmap[c], :] = ph_hat[:, 1 + j]
+
+        # level-1 parents (letters) then level-2 parents (two-char codes)
+        self._train_level(self.lablist_l1, it, s)
+        self._train_level(self.lablist_l2, it, s)
+
+    # ------------------------------------------------------------------- test
+
+    def _encode_docs(self, docs: Sequence[Sequence[str]]):
+        bows = [self.dicti.doc2bow(doc) for doc in docs]
+        return encode_bow_types(bows)
+
+    def _phi_vk(self) -> jnp.ndarray:
+        return jnp.asarray(self.ph.T)  # (V, K) device layout
+
+    def _run_tasks(
+        self,
+        tok_v: np.ndarray,  # (R, U)
+        tok_f: np.ndarray,
+        task_labels: List[List[str]],
+        it: int,
+        thinning: int,
+    ) -> np.ndarray:
+        """Batched cascade_test over (doc, node) tasks; returns (R, Kt) θ̂."""
+        R = len(task_labels)
+        Kt = _round_up(max(max(len(t) for t in task_labels), 2), 8)
+        lab_ids = np.zeros((R, Kt), dtype=np.int32)
+        lab_mask = np.zeros((R, Kt), dtype=np.float32)
+        for r, labels in enumerate(task_labels):
+            ids = [self.labelmap[x] for x in labels]
+            lab_ids[r, : len(ids)] = ids
+            lab_mask[r, : len(ids)] = 1.0
+        self._key, k = jax.random.split(self._key)
+        avg = cascade_test_loop(
+            k,
+            jnp.asarray(tok_v),
+            jnp.asarray(tok_f),
+            self._phi_vk(),
+            jnp.asarray(lab_ids),
+            jnp.asarray(lab_mask),
+            it=int(it),
+            thinning=int(thinning),
+            alpha=self.alpha,
+            beta=self.beta,
+        )
+        return np.asarray(avg)
+
+    @staticmethod
+    def _keep_top(th: np.ndarray, labels: List[str], threshold: float):
+        """Labels kept until cumulative mass ≥ threshold (CascadeLDA.py:253-258)."""
+        order = np.argsort(th)[::-1]
+        loads = th[order]
+        n = int((np.cumsum(loads) < threshold).sum()) + 1
+        top_labs = [labels[i] for i in order[:n]]
+        return list(zip(top_labs, loads[:n].tolist()))
+
+    def test_down_tree_batch(
+        self,
+        docs: Sequence[Sequence[str]],
+        it: int,
+        thinning: int,
+        threshold: float = 0.95,
+    ):
+        """Cascaded prediction for a batch of documents (CascadeLDA.py:249-301),
+        with each tree level executed as ONE batched kernel over all
+        (document, surviving-node) tasks instead of per-doc Python recursion.
+
+        Returns (level_1, level_2, level_3): per-doc lists matching the
+        reference's ``test_down_tree`` output structure.
+        """
+        tok_v, tok_f = self._encode_docs(docs)
+        n = len(docs)
+
+        # ---- level 1: same task for every doc.  NOTE the reference tests
+        # level 1 over the bare letter labels with NO root/garbage topic
+        # (lablist_l1 after go_down_tree's insert+remove round-trip,
+        # CascadeLDA.py:146-147,249-250); slot 0 = first letter receives the
+        # 1/ld init mass exactly as the reference's prep4test does.
+        labels1 = self.lablist_l1
+        th1 = self._run_tasks(tok_v, tok_f, [labels1] * n, it, thinning)
+        level_1: List[List[Tuple[str, float]]] = []
+        tasks2: List[Tuple[int, str]] = []
+        for d in range(n):
+            th = th1[d, : len(labels1)]
+            tups = self._keep_top(th, labels1, threshold)
+            level_1.append(tups)
+            for lab, _ in tups:
+                if lab != "root":
+                    tasks2.append((d, lab))
+
+        # ---- level 2: one task per surviving (doc, letter)
+        level_2: List[List[List[Tuple[str, float]]]] = [[] for _ in range(n)]
+        tasks3: List[Tuple[int, str]] = []
+        if tasks2:
+            t_labels = [[p] + self._children(p) for _, p in tasks2]
+            th2 = self._run_tasks(
+                tok_v[[d for d, _ in tasks2]],
+                tok_f[[d for d, _ in tasks2]],
+                t_labels, it, thinning,
+            )
+            for r, (d, p) in enumerate(tasks2):
+                labels = t_labels[r]
+                tups = self._keep_top(th2[r, : len(labels)], labels, threshold)
+                level_2[d].append(tups)
+                for lab, _ in tups:
+                    if lab != p:
+                        tasks3.append((d, lab))
+
+        # ---- level 3: one task per surviving (doc, two-char code)
+        level_3: List[List[List[Tuple[str, float]]]] = [[] for _ in range(n)]
+        if tasks3:
+            t_labels = [[p] + self._children(p) for _, p in tasks3]
+            th3 = self._run_tasks(
+                tok_v[[d for d, _ in tasks3]],
+                tok_f[[d for d, _ in tasks3]],
+                t_labels, it, thinning,
+            )
+            for r, (d, p) in enumerate(tasks3):
+                labels = t_labels[r]
+                tups = self._keep_top(th3[r, : len(labels)], labels, threshold)
+                level_3[d].append(tups)
+
+        return level_1, level_2, level_3
+
+    def test_down_tree(self, doc, it, thinning, threshold=0.95):
+        """Single-document API parity wrapper (reference CascadeLDA.py:249)."""
+        l1, l2, l3 = self.test_down_tree_batch([doc], it, thinning, threshold)
+        return l1[0], l2[0], l3[0]
+
+    def run_test(self, docs, it, thinning, depth="all") -> np.ndarray:
+        """Flat (non-cascaded) fold-in over a depth-filtered φ slice
+        (reference CascadeLDA.py:303-344)."""
+        if depth in (1, 2, 3):
+            labels = [x for x in self.lablist if len(x) in (depth, 4)]
+        else:
+            labels = list(self.lablist)
+        tok_v, tok_f = self._encode_docs(docs)
+        th = self._run_tasks(tok_v, tok_f, [labels] * len(docs), it, thinning)
+        return th[:, : len(labels)]
+
+    # ------------------------------------------------------------ diagnostics
+
+    def topwords_per_topic(self, topwords: int = 10):
+        out = []
+        for lab, k in self.labelmap.items():
+            idx = np.argsort(-self.ph[k])[:topwords]
+            out.append([lab] + [self.v_to_w[int(v)] for v in idx])
+        return out

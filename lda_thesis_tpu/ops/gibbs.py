@@ -33,7 +33,14 @@ import jax.numpy as jnp
 
 from .sampling import gumbel_argmax, mask_to_logits
 
-__all__ = ["LDACounts", "init_counts", "train_sweep", "foldin_sweep", "log_likelihood"]
+__all__ = [
+    "LDACounts",
+    "init_counts",
+    "train_sweep",
+    "foldin_sweep",
+    "cascade_test_loop",
+    "log_likelihood",
+]
 
 
 class LDACounts(NamedTuple):
@@ -182,6 +189,105 @@ def foldin_sweep(
 
     n_dk, z_t = jax.lax.scan(step, n_dk, (tok_v.T, tok_f.T, z.T, keys))
     return z_t.T.astype(jnp.int32), n_dk
+
+
+def cascade_test_loop(
+    key: jax.Array,
+    tok_v: jax.Array,  # (R, U) int32 — one row per (doc, tree-node) task
+    tok_f: jax.Array,  # (R, U) int32
+    phi_vk: jax.Array,  # (V, Kglob) float32 — trained global topic-word table
+    lab_ids: jax.Array,  # (R, Kt) int32 — task-local topic -> global topic id
+    lab_mask: jax.Array,  # (R, Kt) float — 1 valid local topic, 0 padding
+    it: int,
+    thinning: int,
+    alpha: float,
+    beta: float,
+) -> jax.Array:
+    """Batched CascadeLDA node-level fold-in inference (CascadeLDA.py:186-247).
+
+    Each row is one (document, tree-node) task whose local topic axis is an
+    indexed slice of the global φ table (slot 0 = the node's local root).
+    Reproduces the reference semantics exactly:
+
+    * init (``prep4test``): z ~ Categorical over ``(φ[k,v]+β)/Σ_k`` with the
+      local root's probability forced to ``1/ld`` (ld = # unique types),
+    * sweeps (``cascade_test``): p(z=k) ∝ (n_dk+α)·φ[k,v], with degenerate
+      all-zero rows recovered as (n_dk+α)·(φ[k,v]+β) (the reference's
+      FloatingPointError branch, CascadeLDA.py:224-229),
+    * thinned running average of the normalised local counts.
+
+    Returns ``avg (R, Kt)`` — the per-task θ̂ over local topics.
+    """
+    R, U = tok_v.shape
+    Kt = lab_ids.shape[1]
+    mask_logits = mask_to_logits(lab_mask)
+    ld = jnp.maximum((tok_f > 0).sum(axis=1), 1).astype(jnp.float32)  # (R,)
+    k_init, k_sweeps = jax.random.split(key)
+
+    def local_phi(v):  # (R,) token ids -> (R, Kt) φ gathered per task
+        rows = phi_vk[v]  # (R, Kglob)
+        return jnp.take_along_axis(rows, lab_ids, axis=1)
+
+    # ---- init (prep4test)
+    init_keys = jax.random.split(k_init, U)
+
+    def init_step(n_dk, xs):
+        v, f, k = xs
+        p = local_phi(v) + beta
+        p = p / jnp.maximum((p * lab_mask).sum(axis=1, keepdims=True), 1e-38)
+        p = p.at[:, 0].set(1.0 / ld)
+        logits = jnp.log(jnp.maximum(p, 1e-38)) + mask_logits
+        z = gumbel_argmax(k, logits, axis=1)
+        n_dk = n_dk + f[:, None] * _one_hot_i32(z, Kt)
+        return n_dk, z
+
+    n_dk, z_t = jax.lax.scan(
+        init_step, jnp.zeros((R, Kt), jnp.int32), (tok_v.T, tok_f.T, init_keys)
+    )
+    z = z_t.T
+
+    # ---- it sweeps with thinned averaging
+    save = (jnp.arange(it, dtype=jnp.int32) + 1) % thinning == 0
+    sweep_keys = jax.random.split(k_sweeps, it)
+
+    def sweep(carry, xs):
+        z, n_dk, avg, s = carry
+        key_i, save_i = xs
+        pos_keys = jax.random.split(key_i, U)
+
+        def step(n_dk, xs):
+            v, f, z_old, k = xs
+            n_dk = n_dk - f[:, None] * _one_hot_i32(z_old, Kt)
+            lp_doc = jnp.log(n_dk.astype(jnp.float32) + alpha)
+            lphi = jnp.log(jnp.maximum(local_phi(v), 0.0))  # -inf where φ==0
+            logp = lp_doc + lphi + mask_logits
+            dead = ~jnp.any(jnp.isfinite(logp), axis=1, keepdims=True)
+            logp_fb = lp_doc + jnp.log(local_phi(v) + beta) + mask_logits
+            logp = jnp.where(dead, logp_fb, logp)
+            z_new = gumbel_argmax(k, logp, axis=1)
+            z_new = jnp.where(f > 0, z_new, z_old)
+            n_dk = n_dk + f[:, None] * _one_hot_i32(z_new, Kt)
+            return n_dk, z_new
+
+        n_dk, z_t = jax.lax.scan(
+            step, n_dk, (tok_v.T, tok_f.T, z.T, pos_keys)
+        )
+        z = z_t.T
+
+        def on_save(_):
+            tot = n_dk.sum(axis=1, keepdims=True).astype(jnp.float32)
+            cur = n_dk.astype(jnp.float32) / jnp.maximum(tot, 1.0)
+            s2 = s + 1
+            f32 = s2.astype(jnp.float32)
+            new = (f32 - 1.0) / f32 * avg + cur / f32
+            return jnp.where(f32 <= 1.0, cur, new), s2
+
+        avg, s = jax.lax.cond(save_i, on_save, lambda _: (avg, s), None)
+        return (z, n_dk, avg, s), None
+
+    carry0 = (z, n_dk, jnp.zeros((R, Kt), jnp.float32), jnp.int32(0))
+    (z, n_dk, avg, _), _ = jax.lax.scan(sweep, carry0, (sweep_keys, save))
+    return avg
 
 
 def log_likelihood(
