@@ -42,10 +42,10 @@ def main() -> None:
 
     tokens_per_sweep = int(model.tok_f.sum())
 
-    # warmup: compiles the training loop (thinning==iters -> single save)
-    model.run_training(1, 1, perplexity=False)
-
+    # warmup with the SAME static config so the timed run hits the jit cache
     n_sweeps = 20
+    model.run_training(n_sweeps, n_sweeps, perplexity=False)
+
     t0 = time.perf_counter()
     model.run_training(n_sweeps, n_sweeps, perplexity=False)
     jax.block_until_ready(model.counts)

@@ -54,25 +54,29 @@ def _round_up(x: int, m: int) -> int:
 def _level_train_loop(key, counts, tok_v, tok_f, labs, iters: int,
                       thinning: int, alpha: float, beta: float):
     """Joint level training with thinned averaging of *unsmoothed* φ
-    (SubLDA.run_training, CascadeLDA.py:423-434)."""
-    save = (jnp.arange(iters, dtype=jnp.int32) + 1) % thinning == 0
-    keys = jax.random.split(key, iters)
+    (SubLDA.run_training, CascadeLDA.py:423-434).  Outer scan over save
+    blocks of ``thinning`` sweeps (see labeled_lda._train_loop)."""
     V, K = counts.n_vk.shape
+    n_blocks = iters // thinning
+    rem = iters - n_blocks * thinning
+    keys = jax.random.split(key, iters + 1)
 
-    def body(carry, xs):
+    def one_sweep(counts, k):
+        return train_sweep(k, counts, tok_v, tok_f, labs, alpha, beta), None
+
+    def block(carry, block_keys):
         counts, ph_hat, s = carry
-        k_i, save_i = xs
-        counts = train_sweep(k_i, counts, tok_v, tok_f, labs, alpha, beta)
-
-        def on_save(_):
-            s2 = s + 1
-            return running_average(ph_hat, phi_unsmoothed(counts.n_vk), s2), s2
-
-        ph_hat, s = jax.lax.cond(save_i, on_save, lambda _: (ph_hat, s), None)
+        counts, _ = jax.lax.scan(one_sweep, counts, block_keys)
+        s = s + 1
+        ph_hat = running_average(ph_hat, phi_unsmoothed(counts.n_vk), s)
         return (counts, ph_hat, s), None
 
     carry0 = (counts, jnp.zeros((V, K), jnp.float32), jnp.int32(0))
-    (counts, ph_hat, _), _ = jax.lax.scan(body, carry0, (keys, save))
+    (counts, ph_hat, _), _ = jax.lax.scan(
+        block, carry0, keys[: n_blocks * thinning].reshape(n_blocks, thinning, 2)
+    )
+    if rem:
+        counts, _ = jax.lax.scan(one_sweep, counts, keys[n_blocks * thinning : iters])
     return counts, ph_hat
 
 

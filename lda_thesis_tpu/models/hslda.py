@@ -102,25 +102,27 @@ def _train_cycle(key, counts, tok_v, mask, labs, eta, a, beta,
 
 
 @partial(jax.jit, static_argnames=("it", "thinning"))
-def _test_loop(key, tok_v, mask, init_log_phi, sweep_log_phi, alpha_beta,
+def _test_loop(key, tok_v, mask, init_phi, sweep_phi, alpha_beta,
                it: int, thinning: int):
     """Batched fold-in for held-out docs (HSLDA.py:335-374): init z from the
     thinned φ̂, then frozen-φ sweeps with per-iteration thinned z̄ averaging."""
     D, N = tok_v.shape
-    K = init_log_phi.shape[1]
+    K = init_phi.shape[1]
     k_init, k_sweeps = jax.random.split(key)
     n_d = jnp.maximum(mask.sum(axis=1), 1).astype(jnp.float32)
 
-    init_keys = jax.random.split(k_init, N)
+    uniforms = jax.random.uniform(k_init, (N, D), dtype=jnp.float32)
+    mF = mask.astype(jnp.float32)
 
     def init_step(n_dk, xs):
-        v, m, k = xs
-        z = gumbel_argmax(k, init_log_phi[v], axis=1)
-        n_dk = n_dk + m[:, None] * jax.nn.one_hot(z, K, dtype=jnp.int32)
+        v, mf, u = xs
+        c = jnp.cumsum(init_phi[v], axis=1)
+        z = jnp.sum(c < (u * c[:, -1])[:, None], axis=1).astype(jnp.int32)
+        n_dk = n_dk + mf[:, None] * jax.nn.one_hot(z, K, dtype=jnp.float32)
         return n_dk, z
 
     n_dk, z_t = jax.lax.scan(
-        init_step, jnp.zeros((D, K), jnp.int32), (tok_v.T, mask.T, init_keys)
+        init_step, jnp.zeros((D, K), jnp.float32), (tok_v.T, mF.T, uniforms)
     )
     z = z_t.T
 
@@ -130,7 +132,7 @@ def _test_loop(key, tok_v, mask, init_log_phi, sweep_log_phi, alpha_beta,
     def body(carry, xs):
         z, n_dk, avg, s = carry
         k_i, save_i = xs
-        z, n_dk = foldin_sweep(k_i, z, n_dk, tok_v, mask, sweep_log_phi, alpha_beta)
+        z, n_dk = foldin_sweep(k_i, z, n_dk, tok_v, mask, sweep_phi, alpha_beta)
 
         def on_save(_):
             cur = n_dk.astype(jnp.float32) / n_d[:, None]
@@ -278,16 +280,14 @@ class HSLDA:
         (reference run_test/run_tests, HSLDA.py:346-394), all docs in parallel."""
         tok_v, mask = self._encode_test(newdocs)
         ph = self.ph if self.ph is not None else self.get_ph()
-        init_log_phi = jnp.asarray(
-            np.log(np.maximum(ph, 1e-38)).T.copy()  # (V, K)
-        )
+        init_phi = jnp.asarray(np.ascontiguousarray(ph.T), jnp.float32)  # (V, K)
         sweep = np.asarray(self.counts.n_vk).astype(np.float64) + self.gamma  # (V, K)
         sweep = sweep / sweep.sum(axis=0, keepdims=True)
-        sweep_log_phi = jnp.asarray(np.log(sweep), jnp.float32)
+        sweep_phi = jnp.asarray(sweep, jnp.float32)
 
         self._key, k = jax.random.split(self._key)
         zbar = _test_loop(
-            k, tok_v, mask, init_log_phi, sweep_log_phi,
+            k, tok_v, mask, init_phi, sweep_phi,
             alpha_beta=self.alpha * self.beta, it=int(it), thinning=int(s),
         )
         mean_a = np.asarray(zbar) @ np.asarray(self.eta).T - self.xi

@@ -32,7 +32,6 @@ from ..ops.gibbs import (
     log_likelihood,
     train_sweep,
 )
-from ..ops.sampling import gumbel_argmax, mask_to_logits
 from .state import (
     pad_axis,
     phi_from_counts,
@@ -62,34 +61,36 @@ def _train_loop(
     beta: float,
     perplexity: bool,
 ):
-    """``iters`` Gibbs sweeps with thinned φ/θ averaging (LabeledLDA.py:127-153)."""
-    save = (jnp.arange(iters, dtype=jnp.int32) + 1) % thinning == 0
-    keys = jax.random.split(key, iters)
+    """``iters`` Gibbs sweeps with thinned φ/θ averaging (LabeledLDA.py:127-153).
+
+    Structured as an outer scan over save blocks of ``thinning`` sweeps so
+    the (V, K)/(D, K) running-average state is only touched once per block —
+    a per-iteration ``lax.cond`` would drag those arrays through every sweep
+    (~2.5× slower measured on chip).  Trailing ``iters % thinning`` sweeps
+    run without a save, matching the reference's multiples-only rule.
+    """
     V, K = counts.n_vk.shape
     D = counts.n_dk.shape[0]
+    n_blocks = iters // thinning
+    rem = iters - n_blocks * thinning
+    keys = jax.random.split(key, iters + 1)
 
-    def body(carry, xs):
+    def one_sweep(counts, k):
+        return train_sweep(k, counts, tok_v, tok_f, labs, alpha, beta), None
+
+    def block(carry, block_keys):
         counts, ph_hat, th_hat, s = carry
-        k_i, save_i = xs
-        counts = train_sweep(k_i, counts, tok_v, tok_f, labs, alpha, beta)
-
-        def on_save(_):
-            cur_ph = phi_from_counts(counts.n_vk, counts.n_k, beta, topic_mask)
-            cur_th = theta_from_counts(counts.n_dk, labs, alpha)
-            s2 = s + 1
-            ph = running_average(ph_hat, cur_ph, s2)
-            th = running_average(th_hat, cur_th, s2)
-            if perplexity:
-                ll, n = log_likelihood(cur_th, cur_ph, tok_v, tok_f)
-                perp = jnp.exp(-ll / jnp.maximum(n.astype(jnp.float32), 1.0))
-            else:
-                perp = jnp.float32(0.0)
-            return ph, th, s2, perp
-
-        def no_save(_):
-            return ph_hat, th_hat, s, jnp.float32(0.0)
-
-        ph_hat, th_hat, s, perp = jax.lax.cond(save_i, on_save, no_save, None)
+        counts, _ = jax.lax.scan(one_sweep, counts, block_keys)
+        cur_ph = phi_from_counts(counts.n_vk, counts.n_k, beta, topic_mask)
+        cur_th = theta_from_counts(counts.n_dk, labs, alpha)
+        s = s + 1
+        ph_hat = running_average(ph_hat, cur_ph, s)
+        th_hat = running_average(th_hat, cur_th, s)
+        if perplexity:
+            ll, n = log_likelihood(cur_th, cur_ph, tok_v, tok_f)
+            perp = jnp.exp(-ll / jnp.maximum(n.astype(jnp.float32), 1.0))
+        else:
+            perp = jnp.float32(0.0)
         return (counts, ph_hat, th_hat, s), perp
 
     carry0 = (
@@ -98,56 +99,68 @@ def _train_loop(
         jnp.zeros((D, K), jnp.float32),
         jnp.int32(0),
     )
-    (counts, ph_hat, th_hat, _), perps = jax.lax.scan(body, carry0, (keys, save))
+    (counts, ph_hat, th_hat, _), perps = jax.lax.scan(
+        block, carry0, keys[: n_blocks * thinning].reshape(n_blocks, thinning, 2)
+    )
+    if rem:
+        counts, _ = jax.lax.scan(
+            one_sweep, counts, keys[n_blocks * thinning : iters]
+        )
     return counts, ph_hat, th_hat, perps
 
 
 @partial(jax.jit, static_argnames=("it", "thinning", "alpha"))
-def _test_loop(key, tok_v, tok_f, log_phi, topic_logits, it: int, thinning: int, alpha: float):
+def _test_loop(key, tok_v, tok_f, phi, topic_mask, it: int, thinning: int, alpha: float):
     """Fold-in inference for held-out docs (LabeledLDA.py:155-212), all docs in
     parallel: z-init from φ columns, then ``it`` frozen-φ sweeps with thinned
     averaging of the normalised doc-topic counts."""
     D, U = tok_v.shape
-    K = log_phi.shape[1]
+    K = phi.shape[1]
     k_init, k_sweeps = jax.random.split(key)
 
     # --- init (prep4test): z ~ categorical(φ[:, v]), uniform slot fallback
-    init_keys = jax.random.split(k_init, U)
+    uniforms = jax.random.uniform(k_init, (U, D), dtype=jnp.float32)
+    fF = tok_f.astype(jnp.float32)
 
     def init_step(n_dk, xs):
-        v, f, k = xs
-        logits = log_phi[v]  # (D, K)
-        dead = ~jnp.any(jnp.isfinite(logits), axis=1, keepdims=True)
-        logits = jnp.where(dead, topic_logits[None, :], logits)
-        z = gumbel_argmax(k, logits, axis=1)
-        n_dk = n_dk + f[:, None] * jax.nn.one_hot(z, K, dtype=jnp.int32)
+        v, ff, u = xs
+        w = phi[v]  # (D, K)
+        dead = jnp.sum(w, axis=1, keepdims=True) <= 0.0
+        w = jnp.where(dead, topic_mask[None, :], w)
+        c = jnp.cumsum(w, axis=1)
+        z = jnp.sum(c < (u * c[:, -1])[:, None], axis=1).astype(jnp.int32)
+        n_dk = n_dk + ff[:, None] * jax.nn.one_hot(z, K, dtype=jnp.float32)
         return n_dk, z
 
     n_dk, z_t = jax.lax.scan(
-        init_step, jnp.zeros((D, K), jnp.int32), (tok_v.T, tok_f.T, init_keys)
+        init_step, jnp.zeros((D, K), jnp.float32), (tok_v.T, fF.T, uniforms)
     )
     z = z_t.T
 
-    # --- it sweeps with thinned averaging (reference run_test)
-    save = (jnp.arange(it, dtype=jnp.int32) + 1) % thinning == 0
-    keys = jax.random.split(k_sweeps, it)
+    # --- it sweeps with thinned averaging (reference run_test); block
+    # structure as in _train_loop so the average is touched once per block
+    n_blocks = it // thinning
+    rem = it - n_blocks * thinning
+    keys = jax.random.split(k_sweeps, it + 1)
 
-    def body(carry, xs):
+    def one_sweep(carry, k):
+        z, n_dk = carry
+        z, n_dk = foldin_sweep(k, z, n_dk, tok_v, tok_f, phi, alpha)
+        return (z, n_dk), None
+
+    def block(carry, block_keys):
         z, n_dk, avg, s = carry
-        k_i, save_i = xs
-        z, n_dk = foldin_sweep(k_i, z, n_dk, tok_v, tok_f, log_phi, alpha)
-
-        def on_save(_):
-            tot = n_dk.sum(axis=1, keepdims=True).astype(jnp.float32)
-            cur = n_dk.astype(jnp.float32) / jnp.maximum(tot, 1.0)
-            s2 = s + 1
-            return running_average(avg, cur, s2), s2
-
-        avg, s = jax.lax.cond(save_i, on_save, lambda _: (avg, s), None)
+        (z, n_dk), _ = jax.lax.scan(one_sweep, (z, n_dk), block_keys)
+        tot = n_dk.sum(axis=1, keepdims=True)
+        cur = n_dk / jnp.maximum(tot, 1.0)
+        s = s + 1
+        avg = running_average(avg, cur, s)
         return (z, n_dk, avg, s), None
 
     carry0 = (z, n_dk, jnp.zeros((D, K), jnp.float32), jnp.int32(0))
-    (z, n_dk, avg, _), _ = jax.lax.scan(body, carry0, (keys, save))
+    (z, n_dk, avg, _), _ = jax.lax.scan(
+        block, carry0, keys[: n_blocks * thinning].reshape(n_blocks, thinning, 2)
+    )
     return avg
 
 
@@ -245,17 +258,13 @@ class LabeledLDA:
     def run_test(self, newdocs, it: int, thinning: int) -> np.ndarray:
         """Fold-in θ̂ for held-out documents; returns (n, K) including root."""
         tok_v, tok_f = self._encode_test(newdocs)
-        log_phi = jnp.where(
-            self.ph_hat > 0, jnp.log(jnp.maximum(self.ph_hat, 1e-38)), -jnp.inf
-        )
-        topic_logits = mask_to_logits(self.topic_mask)
         self._key, k = jax.random.split(self._key)
         avg = _test_loop(
             k,
             tok_v,
             tok_f,
-            log_phi,
-            topic_logits,
+            self.ph_hat,
+            self.topic_mask,
             it=int(it),
             thinning=int(thinning),
             alpha=self.alpha,

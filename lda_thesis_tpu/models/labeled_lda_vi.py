@@ -1,0 +1,151 @@
+"""Labeled LDA trained by variational inference (CAVI or SVI).
+
+Drop-in alternative to the collapsed-Gibbs :class:`LabeledLDA` — same
+constructor and estimator surface, deterministic optimisation instead of
+sampling.  ``fit()`` runs batch CAVI (monotone ELBO); ``fit_svi()`` runs
+stochastic VI with a Robbins-Monro step-size schedule for corpora that do
+not fit a single batch.  Held-out inference reuses the same CAVI machinery
+with λ frozen.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.encode import binarize_labels, build_labelmap, encode_bow_types
+from ..ops.vi import VIState, cavi_step, elbo, svi_epoch, vi_init
+
+__all__ = ["LabeledLDAVI"]
+
+
+class LabeledLDAVI:
+    """Label-constrained LDA with mean-field variational inference."""
+
+    def __init__(
+        self,
+        docs: Sequence[Sequence[str]],
+        labs: Sequence[Sequence[str]],
+        labelset: Sequence[str],
+        dicti,
+        alpha: float,
+        beta: float,
+        seed: int = 0,
+        k_pad: int = 128,
+    ):
+        self.alpha = float(alpha)
+        self.beta = float(beta)
+        self.dicti = dicti
+        self.labelmap = build_labelmap(labelset)
+        self.K = len(self.labelmap)
+        self.V = len(dicti)
+        self.D = len(docs)
+        self.v_to_w = dicti.id2token
+
+        bows = [dicti.doc2bow(doc) for doc in docs]
+        tok_v, tok_f = encode_bow_types(bows)
+        lab_mask = binarize_labels(labs, self.labelmap)
+
+        self.Kp = ((self.K + k_pad - 1) // k_pad) * k_pad
+        lab_mask = np.pad(lab_mask, ((0, 0), (0, self.Kp - self.K)))
+        self.tok_v = jnp.asarray(tok_v)
+        self.tok_f = jnp.asarray(tok_f)
+        self.labs = jnp.asarray(lab_mask)
+
+        self._key = jax.random.PRNGKey(seed)
+        self._key, k0 = jax.random.split(self._key)
+        self.state = vi_init(self.labs, self.V, self.alpha, self.beta, key=k0)
+        self.elbo_history: List[float] = []
+
+    # ------------------------------------------------------------------ train
+
+    def fit(self, iters: int = 50, tol: float = 1e-4) -> None:
+        """Batch CAVI until ``iters`` or relative-ELBO convergence."""
+        prev = -np.inf
+        for _ in range(int(iters)):
+            self.state, e = cavi_step(
+                self.state, self.tok_v, self.tok_f, self.labs,
+                self.alpha, self.beta,
+            )
+            e = float(e)
+            self.elbo_history.append(e)
+            if np.isfinite(prev) and abs(e - prev) <= tol * abs(prev):
+                break
+            prev = e
+
+    def fit_svi(
+        self,
+        epochs: int = 20,
+        batch_size: int = 256,
+        tau: float = 1.0,
+        kappa: float = 0.7,
+    ) -> None:
+        """Stochastic VI: ρ_t = (t + τ)^−κ per epoch (Hoffman '13)."""
+        batch_size = min(batch_size, self.D)
+        for t in range(int(epochs)):
+            rho = jnp.float32((t + tau) ** (-kappa))
+            self._key, k = jax.random.split(self._key)
+            self.state = svi_epoch(
+                k, self.state, self.tok_v, self.tok_f, self.labs,
+                self.alpha, self.beta, rho, batch_size,
+            )
+        _, e = cavi_step(  # one clean full pass to refresh γ + report ELBO
+            self.state, self.tok_v, self.tok_f, self.labs, self.alpha, self.beta
+        )
+        self.elbo_history.append(float(e))
+
+    # ------------------------------------------------------------ estimators
+
+    def get_phi(self) -> np.ndarray:
+        """(K, V) posterior-mean topic-word distribution."""
+        lam = np.asarray(self.state.lam[:, : self.K])
+        return (lam / lam.sum(axis=0, keepdims=True)).T
+
+    def get_theta(self) -> np.ndarray:
+        """(D, K) posterior-mean doc-topic distribution (masked)."""
+        g = np.asarray(self.state.gamma[:, : self.K])
+        return g / np.maximum(g.sum(axis=1, keepdims=True), 1e-38)
+
+    # ------------------------------------------------------------------- test
+
+    def infer(self, newdocs: Sequence[Sequence[str]], iters: int = 50) -> np.ndarray:
+        """Fold-in θ̂ for held-out docs: CAVI on γ with λ frozen, labels free
+        (all topics admissible — mirrors the Gibbs fold-in's unconstrained
+        test inference, LabeledLDA.py:185-194)."""
+        bows = [self.dicti.doc2bow(doc) for doc in newdocs]
+        tok_v, tok_f = encode_bow_types(bows)
+        tok_v, tok_f = jnp.asarray(tok_v), jnp.asarray(tok_f)
+        n = tok_v.shape[0]
+        mask = np.zeros((n, self.Kp), np.float32)
+        mask[:, : self.K] = 1.0
+        mask = jnp.asarray(mask)
+
+        sub = VIState(gamma=mask * self.alpha + mask, lam=self.state.lam)
+        for _ in range(int(iters)):
+            new, _ = cavi_step(sub, tok_v, tok_f, mask, self.alpha, self.beta)
+            # freeze λ: keep only the γ update
+            sub = VIState(gamma=new.gamma, lam=self.state.lam)
+        g = np.asarray(sub.gamma[:, : self.K])
+        return g / np.maximum(g.sum(axis=1, keepdims=True), 1e-38)
+
+    # ------------------------------------------------------------ diagnostics
+
+    def perplexity(self) -> float:
+        theta = jnp.asarray(self.get_theta())
+        phi_vk = jnp.asarray(self.get_phi().T)
+        from ..ops.gibbs import log_likelihood
+
+        ll, ntok = log_likelihood(theta, phi_vk, self.tok_v, self.tok_f)
+        return float(np.exp(-float(ll) / max(int(ntok), 1)))
+
+    def topwords_per_topic(self, topwords: int = 10):
+        ph = self.get_phi()
+        labels = list(self.labelmap.keys())
+        out = []
+        for k in range(self.K):
+            idx = np.argsort(-ph[k])[:topwords]
+            out.append([labels[k]] + [self.v_to_w[int(v)] for v in idx])
+        return out

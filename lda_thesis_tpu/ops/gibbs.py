@@ -66,30 +66,33 @@ def init_counts(
     """Initialise z from the per-doc label distribution and build count tensors.
 
     Mirrors the reference init (LabeledLDA.py:85-92): z ~ Categorical over the
-    doc's admissible labels, uniformly.
+    doc's admissible labels, uniformly.  Counts are float32 (exact integer
+    arithmetic below 2^24 — see :func:`train_sweep`).
     """
     D, U = tok_v.shape
     K = labs.shape[1]
-    logits = mask_to_logits(labs)  # (D, K)
-    keys = jax.random.split(key, U)
+    c_labs = jnp.cumsum(labs, axis=1)  # (D, K) inverse-CDF table
+    total = c_labs[:, -1]
+    uniforms = jax.random.uniform(key, (U, D), dtype=jnp.float32)
+    fF = tok_f.astype(jnp.float32)
 
     def step(carry, xs):
         n_dk, n_vk, n_k = carry
-        v, f, k = xs
-        z = gumbel_argmax(k, logits, axis=1)  # (D,)
-        fo = f[:, None] * _one_hot_i32(z, K)
+        v, ff, u = xs
+        z = jnp.sum(c_labs < (u * total)[:, None], axis=1).astype(jnp.int32)
+        fo = ff[:, None] * jax.nn.one_hot(z, K, dtype=jnp.float32)
         n_dk = n_dk + fo
         n_k = n_k + fo.sum(axis=0)
-        n_vk = n_vk.at[v, z].add(f)
+        n_vk = n_vk.at[v, z].add(ff)
         return (n_dk, n_vk, n_k), z
 
     carry0 = (
-        jnp.zeros((D, K), jnp.int32),
-        jnp.zeros((V, K), jnp.int32),
-        jnp.zeros((K,), jnp.int32),
+        jnp.zeros((D, K), jnp.float32),
+        jnp.zeros((V, K), jnp.float32),
+        jnp.zeros((K,), jnp.float32),
     )
     (n_dk, n_vk, n_k), z_t = jax.lax.scan(
-        step, carry0, (tok_v.T, tok_f.T, keys)
+        step, carry0, (tok_v.T, fF.T, uniforms)
     )
     return LDACounts(z=z_t.T.astype(jnp.int32), n_dk=n_dk, n_vk=n_vk, n_k=n_k)
 
@@ -107,42 +110,57 @@ def train_sweep(
 
     Posterior per slot (reference LabeledLDA.py:113-117):
         p(z=k) ∝ labs_k · (n_dk + α) · (n_vk[v] + β) / (n_k + V·β)
+
+    TPU-tuned formulation (chosen by benchmarks/micro_sweep_variants.py on a
+    v5e chip — 12.4M tokens/s vs 10.0M for log-domain Gumbel-max and 6-8M for
+    row-scatter count updates):
+
+    * the categorical draw is an exact inverse-CDF search in the *linear*
+      domain — the reference's own multinomial semantics without its
+      renormalisation hacks — with the cumulative sum computed as one
+      ``w @ triu(1)`` MXU matmul (faster than the VPU lane cumsum) and only
+      a (D,) uniform per position, zero transcendentals;
+    * ``n_dk``/``n_k`` updates are dense one-hot multiply-adds (TPU scatters
+      serialise; dense VPU updates don't) — only the unavoidable ``n_vk``
+      row updates use scatter-add;
+    * counts are float32 (exact integer arithmetic below 2^24).
     """
     D, U = tok_v.shape
     K = counts.n_dk.shape[1]
     V = counts.n_vk.shape[0]
-    log_labs = mask_to_logits(labs)
     vbeta = jnp.float32(V * beta)
-    keys = jax.random.split(key, U)
+    tri = jnp.triu(jnp.ones((K, K), jnp.float32))  # inclusive-cumsum operator
+    uniforms = jax.random.uniform(key, (U, D), dtype=jnp.float32)
+    fF = tok_f.astype(jnp.float32)
 
     def step(carry, xs):
         n_dk, n_vk, n_k = carry
-        v, f, z_old, k = xs  # (D,), (D,), (D,), key
-        fo = f[:, None] * _one_hot_i32(z_old, K)
+        v, f, ff, z_old, u = xs  # (D,) each
+        fo = ff[:, None] * jax.nn.one_hot(z_old, K, dtype=jnp.float32)
         n_dk = n_dk - fo
         n_k = n_k - fo.sum(axis=0)
-        n_vk = n_vk.at[v, z_old].add(-f)
+        n_vk = n_vk.at[v, z_old].add(-ff)
 
         cv = n_vk[v]  # (D, K) fresh topic-word counts for each doc's word
-        logp = (
-            log_labs
-            + jnp.log(n_dk.astype(jnp.float32) + alpha)
-            + jnp.log(cv.astype(jnp.float32) + beta)
-            - jnp.log(n_k.astype(jnp.float32) + vbeta)
-        )
-        z_new = gumbel_argmax(k, logp, axis=1)
+        w = labs * (n_dk + alpha) * (cv + beta) * (1.0 / (n_k + vbeta))
+        c = jnp.dot(w, tri, preferred_element_type=jnp.float32)
+        r = u * c[:, -1]
+        z_new = jnp.sum(c < r[:, None], axis=1).astype(jnp.int32)
         z_new = jnp.where(f > 0, z_new, z_old)
 
-        fn = f[:, None] * _one_hot_i32(z_new, K)
+        fn = ff[:, None] * jax.nn.one_hot(z_new, K, dtype=jnp.float32)
         n_dk = n_dk + fn
         n_k = n_k + fn.sum(axis=0)
-        n_vk = n_vk.at[v, z_new].add(f)
+        n_vk = n_vk.at[v, z_new].add(ff)
         return (n_dk, n_vk, n_k), z_new
 
+    n_dk0 = counts.n_dk.astype(jnp.float32)
+    n_vk0 = counts.n_vk.astype(jnp.float32)
+    n_k0 = counts.n_k.astype(jnp.float32)
     (n_dk, n_vk, n_k), z_t = jax.lax.scan(
         step,
-        (counts.n_dk, counts.n_vk, counts.n_k),
-        (tok_v.T, tok_f.T, counts.z.T, keys),
+        (n_dk0, n_vk0, n_k0),
+        (tok_v.T, tok_f.T, fF.T, counts.z.T, uniforms),
     )
     return LDACounts(z=z_t.T.astype(jnp.int32), n_dk=n_dk, n_vk=n_vk, n_k=n_k)
 
@@ -150,44 +168,54 @@ def train_sweep(
 def foldin_sweep(
     key: jax.Array,
     z: jax.Array,  # (D, U)
-    n_dk: jax.Array,  # (D, K)
+    n_dk: jax.Array,  # (D, K) float32
     tok_v: jax.Array,
     tok_f: jax.Array,
-    log_phi: jax.Array,  # (V, K) log topic-word distribution (frozen)
+    phi: jax.Array,  # (V, K) topic-word distribution (frozen, linear domain)
     alpha,  # scalar or (K,) — HSLDA passes the vector α·β (HSLDA.py:358)
     beta_fallback: Optional[float] = None,
+    mask: Optional[jax.Array] = None,  # (D, K) admissible-topic mask
 ) -> Tuple[jax.Array, jax.Array]:
     """One fold-in Gibbs sweep for held-out docs with φ **frozen**.
 
     Posterior (reference LabeledLDA.py:185-194): p(z=k) ∝ (n_dk + α)·φ[v, k].
     With ``beta_fallback`` set, rows whose posterior is identically zero are
     recomputed as (n_dk + α)·(φ[v] + β) — CascadeLDA's degenerate-φ recovery
-    (CascadeLDA.py:224-229).
+    (CascadeLDA.py:224-229).  Same linear-domain inverse-CDF draw as
+    :func:`train_sweep`.
     """
     D, U = tok_v.shape
     K = n_dk.shape[1]
-    keys = jax.random.split(key, U)
+    tri = jnp.triu(jnp.ones((K, K), jnp.float32))
     alpha = jnp.asarray(alpha, jnp.float32)
+    uniforms = jax.random.uniform(key, (U, D), dtype=jnp.float32)
+    fF = tok_f.astype(jnp.float32)
+    n_dk = n_dk.astype(jnp.float32)
 
     def step(n_dk, xs):
-        v, f, z_old, k = xs
-        fo = f[:, None] * _one_hot_i32(z_old, K)
-        n_dk = n_dk - fo
+        v, f, ff, z_old, u = xs
+        n_dk = n_dk - ff[:, None] * jax.nn.one_hot(z_old, K, dtype=jnp.float32)
 
-        lp_doc = jnp.log(n_dk.astype(jnp.float32) + alpha)  # (D, K)
-        lphi = log_phi[v]  # (D, K)
-        logp = lp_doc + lphi
+        a_doc = n_dk + alpha  # (D, K)
+        pv = phi[v]  # (D, K)
+        w = a_doc * pv
+        if mask is not None:
+            w = w * mask
         if beta_fallback is not None:
-            dead = ~jnp.any(jnp.isfinite(logp), axis=1, keepdims=True)
-            logp_fb = lp_doc + jnp.log(jnp.exp(lphi) + beta_fallback)
-            logp = jnp.where(dead, logp_fb, logp)
-        z_new = gumbel_argmax(k, logp, axis=1)
+            w_fb = a_doc * (pv + beta_fallback)
+            if mask is not None:
+                w_fb = w_fb * mask
+            dead = jnp.sum(w, axis=1, keepdims=True) <= 0.0
+            w = jnp.where(dead, w_fb, w)
+        c = jnp.dot(w, tri, preferred_element_type=jnp.float32)
+        r = u * c[:, -1]
+        z_new = jnp.sum(c < r[:, None], axis=1).astype(jnp.int32)
         z_new = jnp.where(f > 0, z_new, z_old)
 
-        n_dk = n_dk + f[:, None] * _one_hot_i32(z_new, K)
+        n_dk = n_dk + ff[:, None] * jax.nn.one_hot(z_new, K, dtype=jnp.float32)
         return n_dk, z_new
 
-    n_dk, z_t = jax.lax.scan(step, n_dk, (tok_v.T, tok_f.T, z.T, keys))
+    n_dk, z_t = jax.lax.scan(step, n_dk, (tok_v.T, tok_f.T, fF.T, z.T, uniforms))
     return z_t.T.astype(jnp.int32), n_dk
 
 

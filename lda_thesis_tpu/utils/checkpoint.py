@@ -1,0 +1,169 @@
+"""Checkpoint / resume — count-tensor + RNG-key snapshots.
+
+A strict superset of the reference's persistence (SURVEY.md C21: write-only
+``pickle.dump`` of the whole model object behind the ``-p`` flag,
+evaluate_LabeledLDA.py:142-145 — no load/resume code exists there):
+
+* arrays are stored in a single ``.npz`` (count tensors, thinned means, RNG
+  key), metadata (hyperparameters, labelmap, vocabulary) as JSON — no
+  pickled code objects, so checkpoints survive refactors;
+* writes are atomic (temp file + rename) so an interrupted run never leaves
+  a corrupt checkpoint;
+* :func:`save_model` / :func:`restore_model` round-trip the full training
+  state of every model class — training can resume mid-chain with the exact
+  RNG stream.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from typing import Any, Dict, Tuple
+
+import numpy as np
+
+__all__ = ["save_checkpoint", "load_checkpoint", "save_model", "restore_model"]
+
+
+def _atomic_write(path: str, write_fn) -> None:
+    d = os.path.dirname(os.path.abspath(path)) or "."
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            write_fn(f)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
+def save_checkpoint(path: str, arrays: Dict[str, Any], meta: Dict[str, Any]) -> None:
+    """Atomically write ``{path}.npz`` (arrays) and ``{path}.json`` (metadata)."""
+    np_arrays = {k: np.asarray(v) for k, v in arrays.items()}
+    _atomic_write(path + ".npz", lambda f: np.savez(f, **np_arrays))
+    _atomic_write(
+        path + ".json", lambda f: f.write(json.dumps(meta, indent=1).encode())
+    )
+
+
+def load_checkpoint(path: str) -> Tuple[Dict[str, np.ndarray], Dict[str, Any]]:
+    with np.load(path + ".npz") as z:
+        arrays = {k: z[k] for k in z.files}
+    with open(path + ".json") as f:
+        meta = json.load(f)
+    return arrays, meta
+
+
+# --------------------------------------------------------------------------
+# model-level snapshots
+# --------------------------------------------------------------------------
+
+
+def _model_kind(model) -> str:
+    return type(model).__name__
+
+
+def save_model(path: str, model) -> None:
+    """Snapshot a LabeledLDA / LocalLDA / CascadeLDA / HSLDA training state."""
+    kind = _model_kind(model)
+    import jax.numpy as jnp  # noqa: F401
+
+    arrays: Dict[str, Any] = {"rng_key": np.asarray(model._key)}
+    meta: Dict[str, Any] = {"kind": kind}
+
+    if kind in ("LabeledLDA", "LocalLDA"):
+        arrays.update(
+            z=model.counts.z, n_dk=model.counts.n_dk, n_vk=model.counts.n_vk,
+            n_k=model.counts.n_k,
+        )
+        if kind == "LabeledLDA":
+            arrays.update(ph_hat=model.ph_hat, th_hat=model.th_hat)
+            meta.update(alpha=model.alpha, beta=model.beta, K=model.K,
+                        Kp=model.Kp, V=model.V, D=model.D,
+                        labelmap=model.labelmap,
+                        cur_perplx=list(map(float, model.cur_perplx)))
+        else:
+            if model.ph_hat is not None:
+                arrays.update(ph_hat=model.ph_hat, th_hat=model.th_hat)
+            meta.update(alpha=model.a, beta=model.b, K=model.K, Kp=model.Kp,
+                        V=model.V, D=model.D, token2id=model.word2id.token2id)
+    elif kind == "CascadeLDA":
+        arrays.update(ph=model.ph)
+        meta.update(alpha=model.alpha, beta=model.beta, K=model.K, V=model.V,
+                    D=model.D, labelmap=model.labelmap)
+    elif kind == "HSLDA":
+        arrays.update(
+            z=model.counts.z, n_dk=model.counts.n_dk, n_vk=model.counts.n_vk,
+            n_k=model.counts.n_k, eta=model.eta, a=model.a, beta_vec=model.beta,
+        )
+        if model.ph is not None:
+            arrays.update(ph=model.ph, th=model.th)
+        meta.update(K=model.K, L=model.L, V=model.V, D=model.D,
+                    alpha=model.alpha, aprime=model.aprime, gamma=model.gamma,
+                    mu=model.mu, sigma=model.sigma, xi=model.xi,
+                    labelmap=model.labelmap, token2id=model.w_to_v)
+    else:
+        raise TypeError(f"unknown model kind: {kind}")
+    save_checkpoint(path, arrays, meta)
+
+
+def restore_model(path: str, model) -> None:
+    """Restore a snapshot into a *compatibly constructed* model instance.
+
+    The instance must be built over the same corpus/vocabulary (shapes are
+    validated); counts, thinned means, auxiliary state, and the RNG key are
+    replaced so training continues exactly where the snapshot left off.
+    """
+    import jax.numpy as jnp
+
+    arrays, meta = load_checkpoint(path)
+    kind = _model_kind(model)
+    if meta["kind"] != kind:
+        raise ValueError(f"checkpoint is {meta['kind']}, model is {kind}")
+
+    def _chk(name, got, want):
+        if int(got) != int(want):
+            raise ValueError(f"{name} mismatch: checkpoint {want}, model {got}")
+
+    _chk("V", model.V, meta["V"])
+    _chk("D", model.D, meta["D"])
+
+    if kind in ("LabeledLDA", "LocalLDA"):
+        from ..ops.gibbs import LDACounts
+
+        model.counts = LDACounts(
+            z=jnp.asarray(arrays["z"]),
+            n_dk=jnp.asarray(arrays["n_dk"]),
+            n_vk=jnp.asarray(arrays["n_vk"]),
+            n_k=jnp.asarray(arrays["n_k"]),
+        )
+        if "ph_hat" in arrays:
+            if kind == "LabeledLDA":
+                model.ph_hat = jnp.asarray(arrays["ph_hat"])
+                model.th_hat = jnp.asarray(arrays["th_hat"])
+            else:
+                model.ph_hat = np.asarray(arrays["ph_hat"])
+                model.th_hat = np.asarray(arrays["th_hat"])
+        if kind == "LabeledLDA":
+            model.cur_perplx = list(meta.get("cur_perplx", []))
+    elif kind == "CascadeLDA":
+        model.ph = np.asarray(arrays["ph"])
+    elif kind == "HSLDA":
+        from ..ops.hslda_gibbs import HSLDACounts
+
+        model.counts = HSLDACounts(
+            z=jnp.asarray(arrays["z"]),
+            n_dk=jnp.asarray(arrays["n_dk"]),
+            n_vk=jnp.asarray(arrays["n_vk"]),
+            n_k=jnp.asarray(arrays["n_k"]),
+        )
+        model.eta = jnp.asarray(arrays["eta"])
+        model.a = jnp.asarray(arrays["a"])
+        model.beta = jnp.asarray(arrays["beta_vec"])
+        if "ph" in arrays:
+            model.ph = np.asarray(arrays["ph"])
+            model.th = np.asarray(arrays["th"])
+    model._key = jnp.asarray(arrays["rng_key"])

@@ -150,7 +150,7 @@ def test_foldin_sweep_matches_reference_posterior():
     phi = np.array(
         [[0.4, 0.1, 0.2], [0.3, 0.0, 0.5], [0.2, 0.6, 0.2], [0.1, 0.3, 0.1]]
     )
-    log_phi = jnp.where(phi > 0, jnp.log(np.maximum(phi, 1e-38)), -jnp.inf)
+    phi_j = jnp.asarray(phi, jnp.float32)
     z = jnp.array([[1]], jnp.int32)
     n_dk = jnp.array([[0, 3, 0]], jnp.int32)
 
@@ -161,7 +161,7 @@ def test_foldin_sweep_matches_reference_posterior():
     keys = jax.random.split(jax.random.PRNGKey(7), n)
     draw_one = jax.jit(
         jax.vmap(
-            lambda k: foldin_sweep(k, z, n_dk, tok_v, tok_f, log_phi, alpha)[0][0, 0]
+            lambda k: foldin_sweep(k, z, n_dk, tok_v, tok_f, phi_j, alpha)[0][0, 0]
         )
     )
     draws = np.asarray(draw_one(keys))
@@ -175,12 +175,11 @@ def test_foldin_beta_fallback():
     V, K = 2, 3
     tok_v = jnp.array([[0]], jnp.int32)
     tok_f = jnp.array([[1]], jnp.int32)
-    phi = np.zeros((V, K))
-    log_phi = jnp.full((V, K), -jnp.inf)
+    phi = jnp.zeros((V, K), jnp.float32)
     z = jnp.array([[0]], jnp.int32)
     n_dk = jnp.array([[1, 0, 0]], jnp.int32)
     z2, n2 = foldin_sweep(
-        jax.random.PRNGKey(0), z, n_dk, tok_v, tok_f, log_phi, 0.5, beta_fallback=0.01
+        jax.random.PRNGKey(0), z, n_dk, tok_v, tok_f, phi, 0.5, beta_fallback=0.01
     )
     # with fallback p ∝ (n_dk+α)·β -> ∝ (n_dk+α); finite draw, counts stay valid
     assert int(np.asarray(n2).sum()) == 1 and (np.asarray(n2) >= 0).all()
