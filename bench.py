@@ -40,7 +40,7 @@ def main() -> None:
     model = LabeledLDA(train.docs, train.labs, list(train.labelset), dicti,
                        alpha=0.1, beta=0.01, seed=0)
 
-    tokens_per_sweep = int(model.tok_f.sum())
+    tokens_per_sweep = model.n_tokens
 
     # warmup with the SAME static config so the timed run hits the jit cache
     n_sweeps = 20

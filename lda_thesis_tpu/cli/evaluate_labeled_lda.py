@@ -37,6 +37,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=None, help="RNG seed")
     p.add_argument("--no-perplexity", action="store_true",
                    help="skip perplexity tracking during training")
+    p.add_argument("--engine", choices=("gibbs", "vi"), default="gibbs",
+                   help="inference engine: collapsed Gibbs or CAVI")
     return p
 
 
@@ -49,14 +51,27 @@ def main(argv=None) -> None:
     train, test = split_corpus(opt.file, d=opt.lvl, seed=opt.seed)
 
     print("Starting training...")
-    model = train_labeled_lda(
-        train, it=opt.it, s=opt.thinning, al=opt.alpha, be=opt.beta,
-        l=opt.lower, u=opt.upper, seed=opt.seed if opt.seed is not None else 0,
-        perplexity=not opt.no_perplexity,
-    )
+    if opt.engine == "vi":
+        from ..data.vocab import prune_dict
+        from ..models.labeled_lda_vi import LabeledLDAVI
 
-    print("Testing test data...")
-    th, preds = test_labeled_lda(model, test, it=opt.it, thinning=opt.thinning)
+        dicti = prune_dict(train.docs, lower=opt.lower, upper=opt.upper)
+        model = LabeledLDAVI(
+            train.docs, train.labs, list(train.labelset), dicti,
+            alpha=opt.alpha, beta=opt.beta,
+            seed=opt.seed if opt.seed is not None else 0,
+        )
+        model.fit(iters=opt.it)
+        print("Testing test data...")
+        th = model.infer(test.docs, iters=opt.it)
+    else:
+        model = train_labeled_lda(
+            train, it=opt.it, s=opt.thinning, al=opt.alpha, be=opt.beta,
+            l=opt.lower, u=opt.upper, seed=opt.seed if opt.seed is not None else 0,
+            perplexity=not opt.no_perplexity,
+        )
+        print("Testing test data...")
+        th, preds = test_labeled_lda(model, test, it=opt.it, thinning=opt.thinning)
     th = np.array(th)
 
     if opt.pickle:

@@ -6,10 +6,16 @@ beta)``, ``run_training(iters, thinning)``, ``run_test(newdocs, it,
 thinning)``, ``get_phi/get_theta``, ``topwords_per_topic``, ``perplexity``,
 ``get_pred(s)`` — but training/test sweeps are compiled JAX scans over dense
 count tensors (see ops/gibbs.py) instead of per-token Python loops.
+Documents can be length-bucketed (data/buckets.py, ``n_buckets`` > 1) to cut
+padding compute — exact Gibbs, just a document visiting order.  The default
+stays at one bucket: on current XLA the sweep is bound by per-scan-step
+overhead, so fewer/larger steps win (measured: 4 buckets = 3.1M tokens/s vs
+3.9M single-bucket); bucketing pays off once the Pallas kernel makes the
+inner step volume-bound.
 
 Numerically deliberate deviations from the reference (documented per
 SURVEY.md §2 "bugs to not replicate"):
-* categorical draws are exact Gumbel-max in log space — no
+* categorical draws are exact inverse-CDF samples — no
   ``prob /= 1.0000000005`` renormalisation loops (LabeledLDA.py:170-171),
 * test-doc z-init falls back to uniform per *slot* rather than per document
   (LabeledLDA.py:163-167 fails the whole doc if any φ column is all-zero).
@@ -24,16 +30,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..data.encode import binarize_labels, build_labelmap, encode_bow_types
+from ..data.buckets import BucketedDocs, bucket_encode
+from ..data.encode import binarize_labels, build_labelmap
 from ..ops.gibbs import (
-    LDACounts,
+    BucketLDAState,
     foldin_sweep,
-    init_counts,
+    init_bucket_counts,
     log_likelihood,
-    train_sweep,
+    train_sweep_buckets,
 )
 from .state import (
-    pad_axis,
     phi_from_counts,
     running_average,
     theta_from_counts,
@@ -50,10 +56,10 @@ __all__ = ["LabeledLDA"]
 @partial(jax.jit, static_argnames=("iters", "thinning", "alpha", "beta", "perplexity"))
 def _train_loop(
     key,
-    counts: LDACounts,
-    tok_v,
-    tok_f,
-    labs,
+    state: BucketLDAState,
+    toks_v,  # tuple of (D_g, U_g)
+    toks_f,
+    labs_t,  # tuple of (D_g, K)
     topic_mask,
     iters: int,
     thinning: int,
@@ -69,44 +75,55 @@ def _train_loop(
     (~2.5× slower measured on chip).  Trailing ``iters % thinning`` sweeps
     run without a save, matching the reference's multiples-only rule.
     """
-    V, K = counts.n_vk.shape
-    D = counts.n_dk.shape[0]
+    V, K = state.n_vk.shape
     n_blocks = iters // thinning
     rem = iters - n_blocks * thinning
     keys = jax.random.split(key, iters + 1)
 
-    def one_sweep(counts, k):
-        return train_sweep(k, counts, tok_v, tok_f, labs, alpha, beta), None
+    def one_sweep(state, k):
+        return train_sweep_buckets(k, state, toks_v, toks_f, labs_t, alpha, beta), None
+
+    def cur_estimates(state):
+        cur_ph = phi_from_counts(state.n_vk, state.n_k, beta, topic_mask)
+        cur_th = tuple(
+            theta_from_counts(ndk, lb, alpha)
+            for ndk, lb in zip(state.n_dk, labs_t)
+        )
+        return cur_ph, cur_th
 
     def block(carry, block_keys):
-        counts, ph_hat, th_hat, s = carry
-        counts, _ = jax.lax.scan(one_sweep, counts, block_keys)
-        cur_ph = phi_from_counts(counts.n_vk, counts.n_k, beta, topic_mask)
-        cur_th = theta_from_counts(counts.n_dk, labs, alpha)
+        state, ph_hat, th_hat, s = carry
+        state, _ = jax.lax.scan(one_sweep, state, block_keys)
+        cur_ph, cur_th = cur_estimates(state)
         s = s + 1
         ph_hat = running_average(ph_hat, cur_ph, s)
-        th_hat = running_average(th_hat, cur_th, s)
+        th_hat = tuple(
+            running_average(t, c, s) for t, c in zip(th_hat, cur_th)
+        )
         if perplexity:
-            ll, n = log_likelihood(cur_th, cur_ph, tok_v, tok_f)
-            perp = jnp.exp(-ll / jnp.maximum(n.astype(jnp.float32), 1.0))
+            ll = jnp.float32(0.0)
+            n = jnp.float32(0.0)
+            for g, (tv, tf) in enumerate(zip(toks_v, toks_f)):
+                llg, ng = log_likelihood(cur_th[g], cur_ph, tv, tf)
+                ll = ll + llg
+                n = n + ng.astype(jnp.float32)
+            perp = jnp.exp(-ll / jnp.maximum(n, 1.0))
         else:
             perp = jnp.float32(0.0)
-        return (counts, ph_hat, th_hat, s), perp
+        return (state, ph_hat, th_hat, s), perp
 
     carry0 = (
-        counts,
+        state,
         jnp.zeros((V, K), jnp.float32),
-        jnp.zeros((D, K), jnp.float32),
+        tuple(jnp.zeros(ndk.shape, jnp.float32) for ndk in state.n_dk),
         jnp.int32(0),
     )
-    (counts, ph_hat, th_hat, _), perps = jax.lax.scan(
+    (state, ph_hat, th_hat, _), perps = jax.lax.scan(
         block, carry0, keys[: n_blocks * thinning].reshape(n_blocks, thinning, 2)
     )
     if rem:
-        counts, _ = jax.lax.scan(
-            one_sweep, counts, keys[n_blocks * thinning : iters]
-        )
-    return counts, ph_hat, th_hat, perps
+        state, _ = jax.lax.scan(one_sweep, state, keys[n_blocks * thinning : iters])
+    return state, ph_hat, th_hat, perps
 
 
 @partial(jax.jit, static_argnames=("it", "thinning", "alpha"))
@@ -140,7 +157,6 @@ def _test_loop(key, tok_v, tok_f, phi, topic_mask, it: int, thinning: int, alpha
     # --- it sweeps with thinned averaging (reference run_test); block
     # structure as in _train_loop so the average is touched once per block
     n_blocks = it // thinning
-    rem = it - n_blocks * thinning
     keys = jax.random.split(k_sweeps, it + 1)
 
     def one_sweep(carry, k):
@@ -180,6 +196,7 @@ class LabeledLDA:
         beta: float,
         seed: int = 0,
         k_pad: int = 128,
+        n_buckets: int = 1,
     ):
         self.alpha = float(alpha)
         self.beta = float(beta)
@@ -194,7 +211,6 @@ class LabeledLDA:
         self.D = len(docs)
 
         bows = [dicti.doc2bow(doc) for doc in docs]
-        tok_v, tok_f = encode_bow_types(bows)
         lab_mask = binarize_labels(labs, self.labelmap)
 
         # pad the topic axis to the TPU lane width; padded topics are masked off
@@ -204,28 +220,35 @@ class LabeledLDA:
             (np.arange(self.Kp) < self.K).astype(np.float32)
         )
 
-        self.tok_v = jnp.asarray(tok_v)
-        self.tok_f = jnp.asarray(tok_f)
-        self.labs = jnp.asarray(lab_mask)
+        # length-bucketed training layout (exact; see data/buckets.py)
+        self.buckets: BucketedDocs = bucket_encode(bows, n_buckets=n_buckets)
+        self.toks_v = tuple(jnp.asarray(x) for x in self.buckets.tok_v)
+        self.toks_f = tuple(jnp.asarray(x) for x in self.buckets.tok_f)
+        self.labs_t = tuple(
+            jnp.asarray(lab_mask[ix]) for ix in self.buckets.doc_idx
+        )
+        self.n_tokens = int(sum(int(x.sum()) for x in self.buckets.tok_f))
 
         self._key = jax.random.PRNGKey(seed)
         self._key, k0 = jax.random.split(self._key)
-        self.counts = init_counts(k0, self.tok_v, self.tok_f, self.labs, self.V)
+        self.counts = init_bucket_counts(
+            k0, self.toks_v, self.toks_f, self.labs_t, self.V
+        )
 
         self.ph_hat = jnp.zeros((self.V, self.Kp), jnp.float32)  # (V, K) layout
-        self.th_hat = jnp.zeros((self.D, self.Kp), jnp.float32)
+        self.th_hat = np.zeros((self.D, self.Kp), np.float32)
         self.cur_perplx: List[float] = []
 
     # ---------------------------------------------------------------- train
 
     def run_training(self, iters: int, thinning: int, perplexity: bool = True) -> None:
         self._key, k = jax.random.split(self._key)
-        self.counts, self.ph_hat, self.th_hat, perps = _train_loop(
+        self.counts, self.ph_hat, th_hat_t, perps = _train_loop(
             k,
             self.counts,
-            self.tok_v,
-            self.tok_f,
-            self.labs,
+            self.toks_v,
+            self.toks_f,
+            self.labs_t,
             self.topic_mask,
             iters=int(iters),
             thinning=int(thinning),
@@ -233,6 +256,7 @@ class LabeledLDA:
             beta=self.beta,
             perplexity=perplexity,
         )
+        self.th_hat = self.buckets.scatter_rows([np.asarray(t) for t in th_hat_t])
         if perplexity:
             perps = np.asarray(perps)
             self.cur_perplx.extend(perps[perps > 0].tolist())
@@ -251,6 +275,8 @@ class LabeledLDA:
     # ----------------------------------------------------------------- test
 
     def _encode_test(self, newdocs) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        from ..data.encode import encode_bow_types
+
         bows = [self.dicti.doc2bow(doc) for doc in newdocs]
         tok_v, tok_f = encode_bow_types(bows)
         return jnp.asarray(tok_v), jnp.asarray(tok_f)
@@ -280,8 +306,11 @@ class LabeledLDA:
 
     def get_theta(self) -> np.ndarray:
         """(D, K) label-masked θ (LabeledLDA.py:236-239)."""
-        th = theta_from_counts(self.counts.n_dk, self.labs, self.alpha)
-        return np.asarray(th[:, : self.K])
+        per_bucket = [
+            np.asarray(theta_from_counts(ndk, lb, self.alpha))
+            for ndk, lb in zip(self.counts.n_dk, self.labs_t)
+        ]
+        return self.buckets.scatter_rows(per_bucket)[:, : self.K]
 
     # ------------------------------------------------------------ diagnostics
 
@@ -304,6 +333,11 @@ class LabeledLDA:
 
     def perplexity(self) -> float:
         phi = phi_from_counts(self.counts.n_vk, self.counts.n_k, self.beta, self.topic_mask)
-        th = theta_from_counts(self.counts.n_dk, self.labs, self.alpha)
-        ll, n = log_likelihood(th, phi, self.tok_v, self.tok_f)
-        return float(np.exp(-ll / max(int(n), 1)))
+        ll = 0.0
+        n = 0
+        for g in range(self.buckets.n_buckets):
+            th = theta_from_counts(self.counts.n_dk[g], self.labs_t[g], self.alpha)
+            llg, ng = log_likelihood(th, phi, self.toks_v[g], self.toks_f[g])
+            ll += float(llg)
+            n += int(ng)
+        return float(np.exp(-ll / max(n, 1)))

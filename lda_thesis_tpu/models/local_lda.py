@@ -3,7 +3,7 @@
 Each *sentence* becomes a pseudo-document; the model is plain collapsed-Gibbs
 LDA with K free topics and a symmetric α prior.  TPU-native: the training
 sweep is exactly the Labeled-LDA kernel (ops/gibbs.py) with an all-ones
-label mask, so LocalLDA reuses the same compiled training loop.
+label mask, so LocalLDA reuses the same compiled bucketed training loop.
 
 Deliberate deviations from the reference (SURVEY.md §2 "bugs to NOT
 replicate"):
@@ -23,10 +23,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..data.encode import encode_bow_types
+from ..data.buckets import bucket_encode
 from ..data.textproc import prep_docs, split_sentences
 from ..data.vocab import Dictionary
-from ..ops.gibbs import init_counts, log_likelihood
+from ..ops.gibbs import init_bucket_counts, log_likelihood
 from .labeled_lda import _train_loop
 from .state import phi_from_counts, theta_from_counts
 
@@ -46,6 +46,7 @@ class LocalLDA:
         stem: bool = False,
         seed: int = 0,
         k_pad: int = 128,
+        n_buckets: int = 1,
     ):
         self.a = float(alpha)
         self.b = float(beta)
@@ -68,20 +69,26 @@ class LocalLDA:
         self.w_to_v = self.word2id.token2id
         self.v_to_w = self.word2id.id2token
 
-        tok_v, tok_f = encode_bow_types(doc_tups)
-        self.tok_v = jnp.asarray(tok_v)
-        self.tok_f = jnp.asarray(tok_f)
-
         # unsupervised = all topics admissible; pad the topic axis to the
         # lane width with masked-off columns
         self.Kp = ((self.K + k_pad - 1) // k_pad) * k_pad
         mask = (np.arange(self.Kp) < self.K).astype(np.float32)
-        self.labs = jnp.asarray(np.broadcast_to(mask, (self.D, self.Kp)).copy())
         self.topic_mask = jnp.asarray(mask)
+
+        self.buckets = bucket_encode(doc_tups, n_buckets=n_buckets)
+        self.toks_v = tuple(jnp.asarray(x) for x in self.buckets.tok_v)
+        self.toks_f = tuple(jnp.asarray(x) for x in self.buckets.tok_f)
+        self.labs_t = tuple(
+            jnp.asarray(np.broadcast_to(mask, (len(ix), self.Kp)).copy())
+            for ix in self.buckets.doc_idx
+        )
+        self.n_tokens = int(sum(int(x.sum()) for x in self.buckets.tok_f))
 
         self._key = jax.random.PRNGKey(seed)
         self._key, k0 = jax.random.split(self._key)
-        self.counts = init_counts(k0, self.tok_v, self.tok_f, self.labs, self.V)
+        self.counts = init_bucket_counts(
+            k0, self.toks_v, self.toks_f, self.labs_t, self.V
+        )
 
         self.ph_hat: Optional[np.ndarray] = None
         self.th_hat: Optional[np.ndarray] = None
@@ -91,12 +98,12 @@ class LocalLDA:
     def run_training(self, iters: int, thinning: int) -> None:
         """Gibbs sweeps + thinned φ/θ averaging (reference LocalLDA.py:86-109)."""
         self._key, k = jax.random.split(self._key)
-        self.counts, ph_hat, th_hat, _ = _train_loop(
+        self.counts, ph_hat, th_hat_t, _ = _train_loop(
             k,
             self.counts,
-            self.tok_v,
-            self.tok_f,
-            self.labs,
+            self.toks_v,
+            self.toks_f,
+            self.labs_t,
             self.topic_mask,
             iters=int(iters),
             thinning=int(thinning),
@@ -105,7 +112,8 @@ class LocalLDA:
             perplexity=False,
         )
         self.ph_hat = np.asarray(ph_hat[:, : self.K]).T  # (K, V) ref orientation
-        self.th_hat = np.asarray(th_hat[:, : self.K])
+        th = self.buckets.scatter_rows([np.asarray(t) for t in th_hat_t])
+        self.th_hat = th[:, : self.K]
         self._check_ph_hat()
 
     def _check_ph_hat(self) -> None:
@@ -128,8 +136,11 @@ class LocalLDA:
 
     def get_theta(self) -> np.ndarray:
         """(D, K) symmetric-α θ (reference LocalLDA.py:116-119)."""
-        th = theta_from_counts(self.counts.n_dk, self.labs, self.a)
-        return np.asarray(th[:, : self.K])
+        per_bucket = [
+            np.asarray(theta_from_counts(ndk, lb, self.a))
+            for ndk, lb in zip(self.counts.n_dk, self.labs_t)
+        ]
+        return self.buckets.scatter_rows(per_bucket)[:, : self.K]
 
     # ------------------------------------------------------------ diagnostics
 
@@ -145,6 +156,11 @@ class LocalLDA:
 
     def perplexity(self) -> float:
         phi = phi_from_counts(self.counts.n_vk, self.counts.n_k, self.b, self.topic_mask)
-        th = theta_from_counts(self.counts.n_dk, self.labs, self.a)
-        ll, n = log_likelihood(th, phi, self.tok_v, self.tok_f)
-        return float(np.exp(-ll / max(int(n), 1)))
+        ll = 0.0
+        n = 0
+        for g in range(self.buckets.n_buckets):
+            th = theta_from_counts(self.counts.n_dk[g], self.labs_t[g], self.a)
+            llg, ng = log_likelihood(th, phi, self.toks_v[g], self.toks_f[g])
+            ll += float(llg)
+            n += int(ng)
+        return float(np.exp(-ll / max(n, 1)))

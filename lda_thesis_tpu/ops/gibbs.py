@@ -35,8 +35,11 @@ from .sampling import gumbel_argmax, mask_to_logits
 
 __all__ = [
     "LDACounts",
+    "BucketLDAState",
     "init_counts",
+    "init_bucket_counts",
     "train_sweep",
+    "train_sweep_buckets",
     "foldin_sweep",
     "cascade_test_loop",
     "log_likelihood",
@@ -125,6 +128,8 @@ def train_sweep(
       row updates use scatter-add;
     * counts are float32 (exact integer arithmetic below 2^24).
     """
+    from .gibbs_pallas import BLOCK, fused_draw_update, pallas_supported
+
     D, U = tok_v.shape
     K = counts.n_dk.shape[1]
     V = counts.n_vk.shape[0]
@@ -132,6 +137,53 @@ def train_sweep(
     tri = jnp.triu(jnp.ones((K, K), jnp.float32))  # inclusive-cumsum operator
     uniforms = jax.random.uniform(key, (U, D), dtype=jnp.float32)
     fF = tok_f.astype(jnp.float32)
+    use_pallas = pallas_supported()
+
+    if use_pallas:
+        # pad the doc axis to the kernel block size; padded rows have f = 0
+        # and an all-zero mask, so they are algebraic no-ops
+        Dp = ((D + BLOCK - 1) // BLOCK) * BLOCK
+        pad = Dp - D
+
+        def pad_rows(x, value=0):
+            if pad == 0:
+                return x
+            return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1),
+                           constant_values=value)
+
+        tok_v_p = pad_rows(tok_v)
+        fF_p = pad_rows(fF)
+        labs_p = pad_rows(labs)
+        z0 = pad_rows(counts.z)
+        n_dk0 = pad_rows(counts.n_dk.astype(jnp.float32))
+        uniforms = jax.random.uniform(key, (U, Dp), dtype=jnp.float32)
+
+        def step(carry, xs):
+            n_dk, n_vk, n_k = carry
+            v, ff, z_old, u = xs
+            dec_k = jnp.zeros((K,), jnp.float32).at[z_old].add(ff)
+            nk_minus = n_k - dec_k
+            n_vk = n_vk.at[v, z_old].add(-ff)
+            cv = n_vk[v]
+            recip = 1.0 / (nk_minus + vbeta)
+            n_dk, z_new, dnk = fused_draw_update(
+                u, ff, z_old, labs_p, n_dk, cv, recip, tri, alpha, beta
+            )
+            n_vk = n_vk.at[v, z_new].add(ff)
+            n_k = n_k + dnk  # == nk_minus + (increments); Δ includes the dec
+            return (n_dk, n_vk, n_k), z_new
+
+        (n_dk, n_vk, n_k), z_t = jax.lax.scan(
+            step,
+            (n_dk0, counts.n_vk.astype(jnp.float32), counts.n_k.astype(jnp.float32)),
+            (tok_v_p.T, fF_p.T, z0.T, uniforms),
+        )
+        return LDACounts(
+            z=z_t.T[:D].astype(jnp.int32),
+            n_dk=n_dk[:D],
+            n_vk=n_vk,
+            n_k=n_k,
+        )
 
     def step(carry, xs):
         n_dk, n_vk, n_k = carry
@@ -217,6 +269,54 @@ def foldin_sweep(
 
     n_dk, z_t = jax.lax.scan(step, n_dk, (tok_v.T, tok_f.T, fF.T, z.T, uniforms))
     return z_t.T.astype(jnp.int32), n_dk
+
+
+class BucketLDAState(NamedTuple):
+    """Gibbs state over length-bucketed documents (data/buckets.py).
+
+    ``z``/``n_dk`` are per-bucket tuples (each bucket has its own padded
+    width U_g); the topic-word table and totals are global.  A bucketed
+    sweep is *exact* Gibbs — buckets are swept sequentially, which is just
+    a particular document visiting order.
+    """
+
+    z: Tuple[jax.Array, ...]
+    n_dk: Tuple[jax.Array, ...]
+    n_vk: jax.Array
+    n_k: jax.Array
+
+
+def init_bucket_counts(key, toks_v, toks_f, labs_t, V: int) -> BucketLDAState:
+    """Per-bucket :func:`init_counts` with a shared topic-word table."""
+    K = labs_t[0].shape[1]
+    n_vk = jnp.zeros((V, K), jnp.float32)
+    n_k = jnp.zeros((K,), jnp.float32)
+    zs, ndks = [], []
+    for g, (tv, tf, lb) in enumerate(zip(toks_v, toks_f, labs_t)):
+        c = init_counts(jax.random.fold_in(key, g), tv, tf, lb, V)
+        zs.append(c.z)
+        ndks.append(c.n_dk)
+        n_vk = n_vk + c.n_vk
+        n_k = n_k + c.n_k
+    return BucketLDAState(z=tuple(zs), n_dk=tuple(ndks), n_vk=n_vk, n_k=n_k)
+
+
+def train_sweep_buckets(
+    key, state: BucketLDAState, toks_v, toks_f, labs_t, alpha: float, beta: float
+) -> BucketLDAState:
+    """One full sweep over all buckets (sequential buckets, exact counts)."""
+    n_vk, n_k = state.n_vk, state.n_k
+    zs, ndks = [], []
+    for g, (tv, tf, lb) in enumerate(zip(toks_v, toks_f, labs_t)):
+        c = train_sweep(
+            jax.random.fold_in(key, g),
+            LDACounts(z=state.z[g], n_dk=state.n_dk[g], n_vk=n_vk, n_k=n_k),
+            tv, tf, lb, alpha, beta,
+        )
+        n_vk, n_k = c.n_vk, c.n_k
+        zs.append(c.z)
+        ndks.append(c.n_dk)
+    return BucketLDAState(z=tuple(zs), n_dk=tuple(ndks), n_vk=n_vk, n_k=n_k)
 
 
 def cascade_test_loop(

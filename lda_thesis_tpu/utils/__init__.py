@@ -8,6 +8,7 @@ package supplies the framework-grade equivalents.
 
 from .checkpoint import load_checkpoint, restore_model, save_checkpoint, save_model
 from .config import GibbsConfig, RunConfig
+from .tracing import Progress, annotate, trace
 
 __all__ = [
     "save_checkpoint",
@@ -16,4 +17,7 @@ __all__ = [
     "restore_model",
     "GibbsConfig",
     "RunConfig",
+    "trace",
+    "annotate",
+    "Progress",
 ]

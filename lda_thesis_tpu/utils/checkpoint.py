@@ -75,10 +75,12 @@ def save_model(path: str, model) -> None:
     meta: Dict[str, Any] = {"kind": kind}
 
     if kind in ("LabeledLDA", "LocalLDA"):
-        arrays.update(
-            z=model.counts.z, n_dk=model.counts.n_dk, n_vk=model.counts.n_vk,
-            n_k=model.counts.n_k,
-        )
+        # bucketed state: one z/n_dk pair per length bucket
+        meta["n_buckets"] = len(model.counts.z)
+        for g in range(len(model.counts.z)):
+            arrays[f"z_{g}"] = model.counts.z[g]
+            arrays[f"n_dk_{g}"] = model.counts.n_dk[g]
+        arrays.update(n_vk=model.counts.n_vk, n_k=model.counts.n_k)
         if kind == "LabeledLDA":
             arrays.update(ph_hat=model.ph_hat, th_hat=model.th_hat)
             meta.update(alpha=model.alpha, beta=model.beta, K=model.K,
@@ -132,18 +134,23 @@ def restore_model(path: str, model) -> None:
     _chk("D", model.D, meta["D"])
 
     if kind in ("LabeledLDA", "LocalLDA"):
-        from ..ops.gibbs import LDACounts
+        from ..ops.gibbs import BucketLDAState
 
-        model.counts = LDACounts(
-            z=jnp.asarray(arrays["z"]),
-            n_dk=jnp.asarray(arrays["n_dk"]),
+        G = int(meta["n_buckets"])
+        if len(model.counts.z) != G:
+            raise ValueError(
+                f"bucket count mismatch: checkpoint {G}, model {len(model.counts.z)}"
+            )
+        model.counts = BucketLDAState(
+            z=tuple(jnp.asarray(arrays[f"z_{g}"]) for g in range(G)),
+            n_dk=tuple(jnp.asarray(arrays[f"n_dk_{g}"]) for g in range(G)),
             n_vk=jnp.asarray(arrays["n_vk"]),
             n_k=jnp.asarray(arrays["n_k"]),
         )
         if "ph_hat" in arrays:
             if kind == "LabeledLDA":
                 model.ph_hat = jnp.asarray(arrays["ph_hat"])
-                model.th_hat = jnp.asarray(arrays["th_hat"])
+                model.th_hat = np.asarray(arrays["th_hat"])
             else:
                 model.ph_hat = np.asarray(arrays["ph_hat"])
                 model.th_hat = np.asarray(arrays["th_hat"])

@@ -49,9 +49,10 @@ def test_train_and_estimators():
 
 def test_counts_conserved():
     m = LocalLDA(DOCS, alpha=0.5, beta=0.1, K=4, seed=1)
-    total = int(np.asarray(m.tok_f).sum())
+    total = m.n_tokens
     m.run_training(5, 5)
-    assert int(np.asarray(m.counts.n_dk).sum()) == total
+    n_dk_total = sum(int(np.asarray(x).sum()) for x in m.counts.n_dk)
+    assert n_dk_total == total
     assert int(np.asarray(m.counts.n_vk).sum()) == total
     np.testing.assert_array_equal(
         np.asarray(m.counts.n_vk).sum(axis=0), np.asarray(m.counts.n_k)
