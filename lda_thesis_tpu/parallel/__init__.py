@@ -11,6 +11,7 @@ TPU-native scaling axes the north star requires:
   Monte-Carlo error bars; pooled estimators average over chains.
 """
 
+from .trainer import DistributedLabeledLDA
 from .sharded import (
     ShardedLDAState,
     make_mesh,
@@ -20,6 +21,7 @@ from .sharded import (
 )
 
 __all__ = [
+    "DistributedLabeledLDA",
     "ShardedLDAState",
     "make_mesh",
     "make_sharded_train_step",

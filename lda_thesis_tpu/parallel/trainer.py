@@ -1,0 +1,137 @@
+"""User-facing distributed Labeled-LDA trainer.
+
+Same constructor/API surface as :class:`models.labeled_lda.LabeledLDA`
+(docs, labs, labelset, dicti, alpha, beta) plus the mesh shape — documents
+sharded over the ``data`` axis with AD-LDA ``psum`` merges, independent
+chains over the ``chains`` axis, pooled posterior estimators, and the same
+``run_training`` / ``run_test`` / ``get_phi`` methods, so single-chip code
+ports by changing one class name.
+
+    mesh = make_mesh(n_data=4, n_chains=2)       # 8 devices
+    model = DistributedLabeledLDA(docs, labs, labelset, dicti,
+                                  alpha=0.1, beta=0.01, mesh=mesh, n_chains=4)
+    model.run_training(150, 25)
+    theta = model.run_test(test_docs, 150, 25)   # pooled-phi fold-in
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh
+
+from ..data.encode import binarize_labels, build_labelmap, encode_bow_types
+from ..models.labeled_lda import _test_loop
+from .sharded import (
+    ShardedLDAState,
+    init_sharded_state,
+    make_mesh,
+    make_sharded_train_step,
+    shard_corpus,
+)
+
+__all__ = ["DistributedLabeledLDA"]
+
+
+class DistributedLabeledLDA:
+    """Labeled LDA over a ``(chains, data)`` device mesh."""
+
+    def __init__(
+        self,
+        docs: Sequence[Sequence[str]],
+        labs: Sequence[Sequence[str]],
+        labelset: Sequence[str],
+        dicti,
+        alpha: float,
+        beta: float,
+        mesh: Optional[Mesh] = None,
+        n_chains: Optional[int] = None,
+        seed: int = 0,
+        k_pad: int = 128,
+    ):
+        self.alpha = float(alpha)
+        self.beta = float(beta)
+        self.dicti = dicti
+        self.labelmap = build_labelmap(labelset)
+        self.K = len(self.labelmap)
+        self.V = len(dicti)
+        self.D = len(docs)
+        self.v_to_w = dicti.id2token
+
+        self.mesh = mesh if mesh is not None else make_mesh(n_chains=1)
+        self.n_chains = int(
+            n_chains if n_chains is not None else self.mesh.shape["chains"]
+        )
+        if self.n_chains % self.mesh.shape["chains"]:
+            raise ValueError("n_chains must be a multiple of the chains mesh axis")
+
+        bows = [dicti.doc2bow(doc) for doc in docs]
+        tok_v, tok_f = encode_bow_types(bows)
+        lab_mask = binarize_labels(labs, self.labelmap)
+        self.Kp = ((self.K + k_pad - 1) // k_pad) * k_pad
+        lab_mask = np.pad(lab_mask, ((0, 0), (0, self.Kp - self.K)))
+        self.topic_mask = jnp.asarray((np.arange(self.Kp) < self.K).astype(np.float32))
+        self.n_tokens = int(tok_f.sum())
+
+        self.tok_v, self.tok_f, self.labs = shard_corpus(
+            self.mesh, tok_v, tok_f, lab_mask
+        )
+
+        self._key = jax.random.PRNGKey(seed)
+        self._key, k0 = jax.random.split(self._key)
+        self.state: ShardedLDAState = init_sharded_state(
+            k0, self.mesh, self.tok_v, self.tok_f, self.labs, self.V,
+            n_chains=self.n_chains,
+        )
+        self._step = make_sharded_train_step(
+            self.mesh, self.n_chains, alpha=self.alpha, beta=self.beta,
+            topic_mask=self.topic_mask,
+        )
+
+    # ---------------------------------------------------------------- train
+
+    def run_training(self, iters: int, thinning: int) -> None:
+        """``iters`` AD-LDA sweeps; φ/θ folded into the thinned running means
+        every ``thinning`` sweeps (reference rule, LabeledLDA.py:131-145)."""
+        for i in range(int(iters)):
+            self._key, k = jax.random.split(self._key)
+            save = jnp.bool_((i + 1) % thinning == 0)
+            self.state = self._step(
+                k, self.state, self.tok_v, self.tok_f, self.labs, save
+            )
+
+    # ------------------------------------------------------------ estimators
+
+    def pooled_phi(self) -> np.ndarray:
+        """(K, V) chain-pooled thinned φ̂ (reference orientation)."""
+        ph = np.asarray(self.state.ph_hat.mean(axis=0))  # (V, Kp)
+        return ph[:, : self.K].T
+
+    def get_phi(self) -> np.ndarray:
+        return self.pooled_phi()
+
+    def chain_phis(self) -> np.ndarray:
+        """(C, K, V) per-chain thinned φ̂ — Monte-Carlo error diagnostics."""
+        ph = np.asarray(self.state.ph_hat)  # (C, V, Kp)
+        return ph[:, :, : self.K].transpose(0, 2, 1)
+
+    def mc_error(self) -> float:
+        """Across-chain standard deviation of φ̂, averaged over entries."""
+        return float(np.asarray(self.state.ph_hat[:, :, : self.K]).std(axis=0).mean())
+
+    # ----------------------------------------------------------------- test
+
+    def run_test(self, newdocs, it: int, thinning: int) -> np.ndarray:
+        """Fold-in θ̂ against the pooled φ̂ (single-chip test kernel)."""
+        bows = [self.dicti.doc2bow(doc) for doc in newdocs]
+        tok_v, tok_f = encode_bow_types(bows)
+        phi_vk = self.state.ph_hat.mean(axis=0)  # (V, Kp)
+        self._key, k = jax.random.split(self._key)
+        avg = _test_loop(
+            k, jnp.asarray(tok_v), jnp.asarray(tok_f), phi_vk, self.topic_mask,
+            it=int(it), thinning=int(thinning), alpha=self.alpha,
+        )
+        return np.asarray(avg[:, : self.K])
