@@ -2,17 +2,21 @@
 
 Runs the flagship Labeled-LDA training sweep (ops/gibbs.py) on the real
 abstracts corpus at the reference's own configuration (depth-3 labels,
-unpruned dictionary: D=4171, V=8969, K=392) and reports throughput against
-the measured reference CPU sampler.
+unpruned dictionary: D=4171, V=8969, K=392) through the product path
+(``LabeledLDA.run_training``) and reports throughput against the measured
+reference CPU sampler.
 
 Baseline denominator: the unmodified reference ``training_iteration``
 (LabeledLDA.py:101-125) measured by benchmarks/measure_reference_cpu.py on
-this machine's CPU: 46_179 tokens-resampled/s (249_972 tokens/sweep, 2
-sweeps, 10.83 s).  Re-measure with:
+this machine's CPU (2026-08, single thread, numpy 2.x): 46_179
+tokens-resampled/s (249_972 tokens/sweep, 2 sweeps, 10.83 s).  Re-measure:
 
     python benchmarks/measure_reference_cpu.py --iters 2
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "path",
+"baseline_tokens_per_s", "windows"} — "path" names which kernel ran
+(pallas = fused TPU kernel, xla = lax.scan fallback); "windows" holds every
+timed window so run-to-run variance is visible in the artifact.
 """
 
 from __future__ import annotations
@@ -33,6 +37,7 @@ def main() -> None:
     from lda_thesis_tpu.data.corpus import load_corpus, split_data
     from lda_thesis_tpu.data.vocab import prune_dict
     from lda_thesis_tpu.models.labeled_lda import LabeledLDA
+    from lda_thesis_tpu.ops.gibbs_pallas import pallas_supported
 
     corpus = load_corpus(DATA, d=3, mode="truncate")
     train, _ = split_data(corpus, seed=42)
@@ -41,22 +46,29 @@ def main() -> None:
                        alpha=0.1, beta=0.01, seed=0)
 
     tokens_per_sweep = model.n_tokens
+    path = "pallas" if pallas_supported() else "xla"
 
-    # warmup with the SAME static config so the timed run hits the jit cache
+    # warmup with the SAME static config so the timed runs hit the jit cache
     n_sweeps = 20
     model.run_training(n_sweeps, n_sweeps, perplexity=False)
 
-    t0 = time.perf_counter()
-    model.run_training(n_sweeps, n_sweeps, perplexity=False)
-    jax.block_until_ready(model.counts)
-    dt = time.perf_counter() - t0
+    rates = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        model.run_training(n_sweeps, n_sweeps, perplexity=False)
+        jax.block_until_ready(model.counts)
+        dt = time.perf_counter() - t0
+        rates.append(tokens_per_sweep * n_sweeps / dt)
 
-    value = tokens_per_sweep * n_sweeps / dt
+    value = max(rates)
     print(json.dumps({
         "metric": "gibbs_tokens_resampled_per_s_per_chip",
         "value": round(value, 1),
         "unit": "tokens/s/chip",
         "vs_baseline": round(value / REF_CPU_TOKENS_PER_S, 2),
+        "path": path,
+        "baseline_tokens_per_s": REF_CPU_TOKENS_PER_S,
+        "windows": [round(r, 1) for r in rates],
     }))
 
 

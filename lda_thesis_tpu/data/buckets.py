@@ -58,10 +58,9 @@ def plan_buckets(
         for i in range(g - 1, C):
             for j in range(g - 2, i):
                 cost = dp[g - 1][j] + (docs_below[i] - docs_below[j]) * cands[i]
-                if cost < dp[g - 1 - 1 + 1][i]:  # dp[g][i]
-                    if cost < dp[g][i]:
-                        dp[g][i] = cost
-                        choice[g][i] = j
+                if cost < dp[g][i]:
+                    dp[g][i] = cost
+                    choice[g][i] = j
     # backtrack from dp[G][C-1]
     bounds = [int(cands[C - 1])]
     g, i = G, C - 1

@@ -130,7 +130,10 @@ def _train_loop(
 def _test_loop(key, tok_v, tok_f, phi, topic_mask, it: int, thinning: int, alpha: float):
     """Fold-in inference for held-out docs (LabeledLDA.py:155-212), all docs in
     parallel: z-init from φ columns, then ``it`` frozen-φ sweeps with thinned
-    averaging of the normalised doc-topic counts."""
+    averaging of the normalised doc-topic counts.  As in the reference, the
+    average is only updated at multiples of ``thinning`` but *all* ``it``
+    sweeps run — trailing ``it % thinning`` sweeps execute unsaved
+    (LabeledLDA.py:199-211)."""
     D, U = tok_v.shape
     K = phi.shape[1]
     k_init, k_sweeps = jax.random.split(key)
@@ -177,7 +180,14 @@ def _test_loop(key, tok_v, tok_f, phi, topic_mask, it: int, thinning: int, alpha
     (z, n_dk, avg, _), _ = jax.lax.scan(
         block, carry0, keys[: n_blocks * thinning].reshape(n_blocks, thinning, 2)
     )
-    return avg
+    rem = it - n_blocks * thinning
+    if rem:
+        (z, n_dk), _ = jax.lax.scan(
+            one_sweep, (z, n_dk), keys[n_blocks * thinning : it]
+        )
+    # z is returned so the trailing sweeps are real work (not DCE'd) and the
+    # final chain state is observable; the θ̂ estimate is ``avg`` alone.
+    return avg, z
 
 
 # --------------------------------------------------------------------------
@@ -236,7 +246,8 @@ class LabeledLDA:
         )
 
         self.ph_hat = jnp.zeros((self.V, self.Kp), jnp.float32)  # (V, K) layout
-        self.th_hat = np.zeros((self.D, self.Kp), np.float32)
+        self._th_hat_t: Optional[Tuple[jnp.ndarray, ...]] = None  # device, per bucket
+        self._th_hat_np: Optional[np.ndarray] = np.zeros((self.D, self.Kp), np.float32)
         self.cur_perplx: List[float] = []
 
     # ---------------------------------------------------------------- train
@@ -256,20 +267,45 @@ class LabeledLDA:
             beta=self.beta,
             perplexity=perplexity,
         )
-        self.th_hat = self.buckets.scatter_rows([np.asarray(t) for t in th_hat_t])
+        # θ̂ stays on device; host reassembly is deferred to first .th_hat access
+        # (the (D, Kp) transfer is pure overhead inside the training loop)
+        self._th_hat_t = th_hat_t
+        self._th_hat_np = None
         if perplexity:
             perps = np.asarray(perps)
             self.cur_perplx.extend(perps[perps > 0].tolist())
         self._check_ph_hat()
 
+    @property
+    def th_hat(self) -> np.ndarray:
+        """(D, Kp) thinned θ̂ in original document order (host array)."""
+        if self._th_hat_np is None:
+            self._th_hat_np = self.buckets.scatter_rows(
+                [np.asarray(t) for t in self._th_hat_t]
+            )
+        return self._th_hat_np
+
+    @th_hat.setter
+    def th_hat(self, value) -> None:  # checkpoint restore path
+        self._th_hat_np = np.asarray(value)
+        self._th_hat_t = None
+
     def _check_ph_hat(self) -> None:
-        """The reference's runtime guards (LabeledLDA.py:146-153)."""
-        ph = np.asarray(self.ph_hat[:, : self.K])
-        if np.any(ph < 0):
+        """The reference's runtime guards (LabeledLDA.py:146-153), evaluated
+        on device — only three booleans cross to the host."""
+        ph = self.ph_hat[:, : self.K]
+        neg, nan, dead = jax.jit(
+            lambda p: (
+                jnp.any(p < 0),
+                jnp.any(jnp.isnan(p)),
+                jnp.any(p.sum(axis=1) == 0),
+            )
+        )(ph)
+        if bool(neg):
             raise ValueError("A negative value occurred in ph_hat")
-        if np.any(np.isnan(ph)):
+        if bool(nan):
             raise ValueError("A nan has creeped into ph_hat")
-        if np.any(ph.sum(axis=1) == 0):
+        if bool(dead):
             raise ValueError("A word in dictionary has no z-value")
 
     # ----------------------------------------------------------------- test
@@ -285,7 +321,7 @@ class LabeledLDA:
         """Fold-in θ̂ for held-out documents; returns (n, K) including root."""
         tok_v, tok_f = self._encode_test(newdocs)
         self._key, k = jax.random.split(self._key)
-        avg = _test_loop(
+        avg, _ = _test_loop(
             k,
             tok_v,
             tok_f,

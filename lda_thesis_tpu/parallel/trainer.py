@@ -130,7 +130,7 @@ class DistributedLabeledLDA:
         tok_v, tok_f = encode_bow_types(bows)
         phi_vk = self.state.ph_hat.mean(axis=0)  # (V, Kp)
         self._key, k = jax.random.split(self._key)
-        avg = _test_loop(
+        avg, _ = _test_loop(
             k, jnp.asarray(tok_v), jnp.asarray(tok_f), phi_vk, self.topic_mask,
             it=int(it), thinning=int(thinning), alpha=self.alpha,
         )

@@ -201,3 +201,24 @@ def test_log_likelihood_matches_numpy():
                 ref += tf[d, u] * np.log(theta[d] @ phi_vk[tv[d, u]])
     assert np.isclose(float(ll), ref, rtol=1e-4)
     assert int(n) == int(tf.sum())
+
+
+def test_test_loop_runs_trailing_remainder_sweeps():
+    """With it % thinning != 0 the trailing sweeps must still execute
+    (reference runs all ``it`` sweeps, LabeledLDA.py:199-211): the final z
+    state after it=10 differs from it=8, while the saved average (updated
+    only at thinning multiples) is identical."""
+    from lda_thesis_tpu.models.labeled_lda import _test_loop
+
+    rng = np.random.default_rng(0)
+    D, U, V, K = 8, 6, 12, 4
+    tok_v = jnp.asarray(rng.integers(0, V, (D, U)).astype(np.int32))
+    tok_f = jnp.asarray(rng.integers(1, 4, (D, U)).astype(np.int32))
+    phi = jnp.asarray(rng.dirichlet(np.ones(K), size=V).astype(np.float32))
+    mask = jnp.ones((K,), jnp.float32)
+    key = jax.random.PRNGKey(7)
+
+    avg10, z10 = _test_loop(key, tok_v, tok_f, phi, mask, it=10, thinning=4, alpha=0.1)
+    avg8, z8 = _test_loop(key, tok_v, tok_f, phi, mask, it=8, thinning=4, alpha=0.1)
+    np.testing.assert_allclose(np.asarray(avg10), np.asarray(avg8), rtol=1e-6)
+    assert np.any(np.asarray(z10) != np.asarray(z8))

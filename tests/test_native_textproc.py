@@ -68,5 +68,6 @@ def test_real_corpus_parity_and_speed():
 
     assert got == want  # full-corpus token-for-token parity
     # Speed is measured properly in benchmarks/; under parallel test load the
-    # ratio is noisy, so only guard against the native path being *slower*.
-    assert t_native < t_python, (t_native, t_python)
+    # ratio is noisy, so keep a modest margin (native is ~4-6x in isolation) —
+    # enough to catch a large native-path regression without flaking.
+    assert t_native < t_python / 1.5, (t_native, t_python)
