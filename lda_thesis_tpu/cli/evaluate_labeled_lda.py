@@ -5,19 +5,24 @@ Flag-compatible with the reference driver:
     python -m lda_thesis_tpu.cli.evaluate_labeled_lda \
         -f abstracts_data.csv -d 3 -i 4 -s 4 -l 0 -u 1 -a 0.1 -b 0.01
 
-plus framework extras (``--seed``, ``--no-perplexity``).
+plus framework extras: ``--seed``, ``--no-perplexity``, ``--engine vi``,
+checkpoint/resume (``--checkpoint PATH --save-every N --resume``), and
+multi-chip training (``--n-chains C --n-data S`` over a ``(chains, data)``
+mesh; combine with parallel/bootstrap.py for multi-host runs).
 """
 
 from __future__ import annotations
 
 import argparse
+import os
 import pickle
 import time
 
 import numpy as np
 
 from ..eval.metrics import binary_yreal, evaluate_ranking
-from ..pipeline import split_corpus, test_labeled_lda, train_labeled_lda
+from ..pipeline import split_corpus
+from ..utils.config import GibbsConfig, RunConfig
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -39,50 +44,139 @@ def build_parser() -> argparse.ArgumentParser:
                    help="skip perplexity tracking during training")
     p.add_argument("--engine", choices=("gibbs", "vi"), default="gibbs",
                    help="inference engine: collapsed Gibbs or CAVI")
+    p.add_argument("--checkpoint", default=None, metavar="PATH",
+                   help="checkpoint path prefix (writes PATH.npz + PATH.json)")
+    p.add_argument("--save-every", type=int, default=0, metavar="N",
+                   help="checkpoint every N training iterations "
+                        "(must be a multiple of -s; default: only at the end)")
+    p.add_argument("--resume", action="store_true",
+                   help="resume training from --checkpoint if it exists")
+    p.add_argument("--n-chains", type=int, default=1,
+                   help="independent Gibbs chains (distributed trainer)")
+    p.add_argument("--n-data", type=int, default=1,
+                   help="document shards over the data mesh axis")
     return p
+
+
+def make_config(opt) -> RunConfig:
+    return RunConfig(
+        file=opt.file,
+        depth=opt.lvl,
+        label_mode="truncate",
+        lower=opt.lower,
+        upper=opt.upper,
+        gibbs=GibbsConfig(
+            iters=opt.it, thinning=opt.thinning, alpha=opt.alpha,
+            beta=opt.beta, seed=opt.seed if opt.seed is not None else 0,
+        ),
+        pickle=opt.pickle,
+        n_chains=opt.n_chains,
+        n_data_shards=opt.n_data,
+    )
+
+
+def _train_gibbs(cfg: RunConfig, opt, train):
+    """Construct + train the (possibly distributed) model, with optional
+    chunked checkpointing (kill the process mid-run, rerun with --resume,
+    and the final counts are bit-identical to the uninterrupted run)."""
+    from ..data.vocab import prune_dict
+
+    g = cfg.gibbs
+    dicti = prune_dict(train.docs, lower=cfg.lower, upper=cfg.upper)
+
+    if cfg.n_chains > 1 or cfg.n_data_shards > 1:
+        import jax
+
+        from ..parallel import DistributedLabeledLDA, make_mesh
+
+        # mesh chains axis: as many device rows as divide both the device
+        # count (after data sharding) and the requested chain count; the
+        # rest of the chains run vmapped within each shard
+        n_dev = len(jax.devices())
+        if n_dev % cfg.n_data_shards:
+            raise SystemExit(f"--n-data {cfg.n_data_shards} does not divide "
+                             f"{n_dev} devices")
+        mesh_chains = n_dev // cfg.n_data_shards
+        while cfg.n_chains % mesh_chains:
+            mesh_chains -= 1
+        mesh = make_mesh(n_data=cfg.n_data_shards, n_chains=mesh_chains,
+                         devices=jax.devices()[: mesh_chains * cfg.n_data_shards])
+        model = DistributedLabeledLDA(
+            train.docs, train.labs, list(train.labelset), dicti,
+            alpha=g.alpha, beta=g.beta, mesh=mesh, n_chains=cfg.n_chains,
+            seed=g.seed,
+        )
+        model.run_training(g.iters, g.thinning)
+        if opt.checkpoint:
+            from ..parallel.sharded_io import save_sharded
+
+            save_sharded(opt.checkpoint, model, iters_done=g.iters)
+        return model
+
+    from ..models.labeled_lda import LabeledLDA
+    from ..utils.checkpoint import restore_model, save_model
+
+    model = LabeledLDA(train.docs, train.labs, list(train.labelset), dicti,
+                       alpha=g.alpha, beta=g.beta, seed=g.seed)
+
+    save_every = opt.save_every or g.iters
+    if save_every % g.thinning:
+        raise SystemExit("--save-every must be a multiple of -s (thinning)")
+
+    done = 0
+    if opt.resume and opt.checkpoint and os.path.exists(opt.checkpoint + ".npz"):
+        meta = restore_model(opt.checkpoint, model)
+        done = int(meta.get("iters_done", 0))
+        print(f"resumed from {opt.checkpoint} at iteration {done}")
+
+    while done < g.iters:
+        chunk = min(save_every, g.iters - done)
+        model.run_training(chunk, g.thinning,
+                           perplexity=not opt.no_perplexity,
+                           continue_avg=done > 0)
+        done += chunk
+        if opt.checkpoint:
+            save_model(opt.checkpoint, model, extra_meta={"iters_done": done})
+            print(f"checkpointed at iteration {done}/{g.iters}")
+    return model
 
 
 def main(argv=None) -> None:
     opt = build_parser().parse_args(argv)
-    if opt.thinning == 0:
-        opt.thinning = opt.it  # reference rule (evaluate_LabeledLDA.py:130-131)
+    cfg = make_config(opt)  # applies the thinning == 0 -> iters rule
+    g = cfg.gibbs
 
     t0 = time.time()
-    train, test = split_corpus(opt.file, d=opt.lvl, seed=opt.seed)
+    train, test = split_corpus(cfg.file, d=cfg.depth, seed=opt.seed)
 
     print("Starting training...")
     if opt.engine == "vi":
         from ..data.vocab import prune_dict
         from ..models.labeled_lda_vi import LabeledLDAVI
 
-        dicti = prune_dict(train.docs, lower=opt.lower, upper=opt.upper)
+        dicti = prune_dict(train.docs, lower=cfg.lower, upper=cfg.upper)
         model = LabeledLDAVI(
             train.docs, train.labs, list(train.labelset), dicti,
-            alpha=opt.alpha, beta=opt.beta,
-            seed=opt.seed if opt.seed is not None else 0,
+            alpha=g.alpha, beta=g.beta, seed=g.seed,
         )
-        model.fit(iters=opt.it)
+        model.fit(iters=g.iters)
         print("Testing test data...")
-        th = model.infer(test.docs, iters=opt.it)
+        th = model.infer(test.docs, iters=g.iters)
     else:
-        model = train_labeled_lda(
-            train, it=opt.it, s=opt.thinning, al=opt.alpha, be=opt.beta,
-            l=opt.lower, u=opt.upper, seed=opt.seed if opt.seed is not None else 0,
-            perplexity=not opt.no_perplexity,
-        )
+        model = _train_gibbs(cfg, opt, train)
         print("Testing test data...")
-        th, preds = test_labeled_lda(model, test, it=opt.it, thinning=opt.thinning)
+        th = model.run_test(test.docs, cfg.test_iters, cfg.test_thinning)
     th = np.array(th)
 
-    if opt.pickle:
+    if cfg.pickle:
         pickle.dump(model, open("LabeledLDA_model.pkl", "wb"))
         pickle.dump(test, open("LabeledLDA_testset.pkl", "wb"))
         pickle.dump(th, open("LabeledLDA_theta.pkl", "wb"))
 
     print("Model:               Labeled LDA (TPU)")
-    print("Corpus:             ", opt.file)
-    print("Label depth         ", opt.lvl)
-    print("# of Gibbs samples: ", int(opt.it))
+    print("Corpus:             ", cfg.file)
+    print("Label depth         ", cfg.depth)
+    print("# of Gibbs samples: ", int(g.iters))
     print("-----------------------------------")
 
     y_bin = binary_yreal(test.labs, model.labelmap)

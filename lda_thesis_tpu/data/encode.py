@@ -26,6 +26,7 @@ __all__ = [
     "EncodedCorpus",
     "build_labelmap",
     "binarize_labels",
+    "compact_labels",
     "encode_bow_types",
     "encode_instances",
     "encode_corpus",
@@ -62,6 +63,29 @@ def binarize_labels(
             if idx is not None:
                 out[d, idx] = 1
     return out
+
+
+def compact_labels(
+    lab_mask: np.ndarray,  # (D, K) binary
+    pad_multiple: int = 8,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(D, K) label mask -> compact ``(lab_ids, lab_valid)`` of shape (D, A).
+
+    A = max labels per document rounded up to ``pad_multiple``.  Slot ids are
+    ascending per row so the compact inverse-CDF draw visits topics in the
+    same order as the dense one (see ops/gibbs.CompactLDACounts); pad slots
+    carry id 0 with valid = 0.
+    """
+    D = lab_mask.shape[0]
+    per_doc = [np.flatnonzero(lab_mask[d]) for d in range(D)]
+    A = max(1, max((len(x) for x in per_doc), default=1))
+    A = _round_up(A, pad_multiple)
+    lab_ids = np.zeros((D, A), dtype=np.int32)
+    lab_valid = np.zeros((D, A), dtype=np.float32)
+    for d, ids in enumerate(per_doc):
+        lab_ids[d, : len(ids)] = ids
+        lab_valid[d, : len(ids)] = 1.0
+    return lab_ids, lab_valid
 
 
 def encode_bow_types(

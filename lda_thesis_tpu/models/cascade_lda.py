@@ -38,8 +38,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..data.encode import encode_bow_types
-from ..ops.gibbs import cascade_test_loop, init_counts, train_sweep
+from ..data.encode import compact_labels, encode_bow_types
+from ..ops.gibbs import (
+    cascade_test_loop,
+    init_counts,
+    init_counts_compact,
+    train_sweep,
+    train_sweep_compact,
+)
 from ..ops.sampling import mask_to_logits
 from .state import phi_unsmoothed, running_average
 
@@ -50,19 +56,36 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-@partial(jax.jit, static_argnames=("iters", "thinning", "alpha", "beta"))
-def _level_train_loop(key, counts, tok_v, tok_f, labs, iters: int,
-                      thinning: int, alpha: float, beta: float):
+@partial(jax.jit, static_argnames=("iters", "thinning", "alpha", "beta", "sweep"))
+def _level_train_loop(key, counts, tok_v, tok_f, labs_or_ids, lab_valid,
+                      iters: int, thinning: int, alpha: float, beta: float,
+                      sweep: str = "dense"):
     """Joint level training with thinned averaging of *unsmoothed* φ
     (SubLDA.run_training, CascadeLDA.py:423-434).  Outer scan over save
-    blocks of ``thinning`` sweeps (see labeled_lda._train_loop)."""
+    blocks of ``thinning`` sweeps (see labeled_lda._train_loop).
+
+    ``sweep="dense"`` (default, measured faster on TPU — see
+    models/labeled_lda.py kernel note) takes ``labs_or_ids`` as the (R, K)
+    mask; ``"compact"`` takes per-row slot ids + validity and runs the
+    (R, A) compact sampler."""
     V, K = counts.n_vk.shape
     n_blocks = iters // thinning
     rem = iters - n_blocks * thinning
     keys = jax.random.split(key, iters + 1)
 
-    def one_sweep(counts, k):
-        return train_sweep(k, counts, tok_v, tok_f, labs, alpha, beta), None
+    if sweep == "compact":
+        def one_sweep(counts, k):
+            return (
+                train_sweep_compact(k, counts, tok_v, tok_f, labs_or_ids,
+                                    lab_valid, alpha, beta),
+                None,
+            )
+    else:
+        def one_sweep(counts, k):
+            return (
+                train_sweep(k, counts, tok_v, tok_f, labs_or_ids, alpha, beta),
+                None,
+            )
 
     def block(carry, block_keys):
         counts, ph_hat, s = carry
@@ -92,9 +115,11 @@ class CascadeLDA:
         alpha: float = 0.001,
         beta: float = 0.001,
         seed: int = 0,
+        sweep: str = "dense",
     ):
         self.alpha = float(alpha)
         self.beta = float(beta)
+        self.sweep = sweep
         self.dicti = dicti
 
         lablist = ["root"] + [x for x in labelset if x != "root"]
@@ -165,28 +190,42 @@ class CascadeLDA:
             mask[r, row_children[r]] = 1.0
         return np.asarray(row_doc), mask, np.asarray(row_root), parents, children
 
+    def _train_joint(self, k0, k1, tok_v, tok_f, mask: np.ndarray,
+                     it: int, s: int) -> np.ndarray:
+        """One joint masked training over (doc, node) rows; returns the
+        thinned unsmoothed φ̂ (V, Klvl)."""
+        if self.sweep == "compact":
+            Klvl = _round_up(max(mask.shape[1], 8), 8)
+            lab_ids, lab_valid = compact_labels(mask)
+            li, lv = jnp.asarray(lab_ids), jnp.asarray(lab_valid)
+            counts = init_counts_compact(k0, tok_v, tok_f, li, lv, self.V, Klvl)
+            _, ph_hat = _level_train_loop(
+                k1, counts, tok_v, tok_f, li, lv,
+                iters=int(it), thinning=int(s),
+                alpha=self.alpha, beta=self.beta, sweep="compact",
+            )
+        else:
+            Klvl = mask.shape[1]
+            Kp = _round_up(max(Klvl, 8), 128)
+            labs = jnp.asarray(np.pad(mask, ((0, 0), (0, Kp - Klvl))))
+            counts = init_counts(k0, tok_v, tok_f, labs, self.V)
+            _, ph_hat = _level_train_loop(
+                k1, counts, tok_v, tok_f, labs, None,
+                iters=int(it), thinning=int(s),
+                alpha=self.alpha, beta=self.beta, sweep="dense",
+            )
+        return np.asarray(ph_hat)
+
     def _train_level(self, parents: List[str], it: int, s: int) -> None:
         """Jointly train all nodes of one level; splice children rows (and,
         for the root level, the root row) into the global ph table."""
         row_doc, mask, row_root, parents, children = self._level_rows(parents)
         if len(children) == 0 or len(row_doc) == 0:
             return
-        Klvl = mask.shape[1]
-        Kp = _round_up(max(Klvl, 8), 128)
-        mask = np.pad(mask, ((0, 0), (0, Kp - Klvl)))
-
         tok_v = jnp.asarray(self.tok_v[row_doc])
         tok_f = jnp.asarray(self.tok_f[row_doc])
-        labs = jnp.asarray(mask)
-
         self._key, k0, k1 = jax.random.split(self._key, 3)
-        counts = init_counts(k0, tok_v, tok_f, labs, self.V)
-        _, ph_hat = _level_train_loop(
-            k1, counts, tok_v, tok_f, labs,
-            iters=int(it), thinning=int(s),
-            alpha=self.alpha, beta=self.beta,
-        )
-        ph_hat = np.asarray(ph_hat)  # (V, Kp)
+        ph_hat = self._train_joint(k0, k1, tok_v, tok_f, mask, it, s)
 
         n_par = len(parents)
         for j, c in enumerate(children):
@@ -205,18 +244,10 @@ class CascadeLDA:
         for d in range(self.D):
             for x in self.l1[d]:
                 row_mask[d, col[x]] = 1.0
-        Klvl = row_mask.shape[1]
-        Kp = _round_up(max(Klvl, 8), 128)
-        labs = jnp.asarray(np.pad(row_mask, ((0, 0), (0, Kp - Klvl))))
         tok_v = jnp.asarray(self.tok_v)
         tok_f = jnp.asarray(self.tok_f)
         self._key, k0, k1 = jax.random.split(self._key, 3)
-        counts = init_counts(k0, tok_v, tok_f, labs, self.V)
-        _, ph_hat = _level_train_loop(
-            k1, counts, tok_v, tok_f, labs,
-            iters=int(it), thinning=int(s), alpha=self.alpha, beta=self.beta,
-        )
-        ph_hat = np.asarray(ph_hat)
+        ph_hat = self._train_joint(k0, k1, tok_v, tok_f, row_mask, it, s)
         self.ph[0, :] = ph_hat[:, 0]
         for j, c in enumerate(self.lablist_l1):
             self.ph[self.labelmap[c], :] = ph_hat[:, 1 + j]

@@ -31,13 +31,17 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.buckets import BucketedDocs, bucket_encode
-from ..data.encode import binarize_labels, build_labelmap
+from ..data.encode import binarize_labels, build_labelmap, compact_labels
 from ..ops.gibbs import (
     BucketLDAState,
+    CompactBucketState,
     foldin_sweep,
     init_bucket_counts,
+    init_bucket_counts_compact,
     log_likelihood,
+    theta_from_compact,
     train_sweep_buckets,
+    train_sweep_buckets_compact,
 )
 from .state import (
     phi_from_counts,
@@ -61,6 +65,7 @@ def _train_loop(
     toks_f,
     labs_t,  # tuple of (D_g, K)
     topic_mask,
+    avg0,  # (ph_hat0 (V, K), th_hat0 tuple, s0 ()) — running-average carry-in
     iters: int,
     thinning: int,
     alpha: float,
@@ -74,6 +79,8 @@ def _train_loop(
     a per-iteration ``lax.cond`` would drag those arrays through every sweep
     (~2.5× slower measured on chip).  Trailing ``iters % thinning`` sweeps
     run without a save, matching the reference's multiples-only rule.
+    ``avg0`` carries the running average across calls so checkpointed /
+    chunked training continues the same thinned mean.
     """
     V, K = state.n_vk.shape
     n_blocks = iters // thinning
@@ -112,18 +119,84 @@ def _train_loop(
             perp = jnp.float32(0.0)
         return (state, ph_hat, th_hat, s), perp
 
-    carry0 = (
-        state,
-        jnp.zeros((V, K), jnp.float32),
-        tuple(jnp.zeros(ndk.shape, jnp.float32) for ndk in state.n_dk),
-        jnp.int32(0),
-    )
-    (state, ph_hat, th_hat, _), perps = jax.lax.scan(
+    ph0, th0, s0 = avg0
+    carry0 = (state, ph0, th0, s0)
+    (state, ph_hat, th_hat, s), perps = jax.lax.scan(
         block, carry0, keys[: n_blocks * thinning].reshape(n_blocks, thinning, 2)
     )
     if rem:
         state, _ = jax.lax.scan(one_sweep, state, keys[n_blocks * thinning : iters])
-    return state, ph_hat, th_hat, perps
+    return state, ph_hat, th_hat, s, perps
+
+
+@partial(jax.jit, static_argnames=("iters", "thinning", "alpha", "beta", "perplexity"))
+def _train_loop_compact(
+    key,
+    state: CompactBucketState,
+    toks_v,
+    toks_f,
+    lab_ids_t,  # tuple of (D_g, A) int32
+    lab_valid_t,  # tuple of (D_g, A) float32
+    topic_mask,
+    avg0,
+    iters: int,
+    thinning: int,
+    alpha: float,
+    beta: float,
+    perplexity: bool,
+):
+    """Compact-support variant of :func:`_train_loop` — identical sampler
+    (see ops/gibbs.CompactLDACounts), (D, A) per-document work."""
+    V, K = state.n_vk.shape
+    n_blocks = iters // thinning
+    rem = iters - n_blocks * thinning
+    keys = jax.random.split(key, iters + 1)
+
+    def one_sweep(state, k):
+        return (
+            train_sweep_buckets_compact(
+                k, state, toks_v, toks_f, lab_ids_t, lab_valid_t, alpha, beta
+            ),
+            None,
+        )
+
+    def cur_estimates(state):
+        cur_ph = phi_from_counts(state.n_vk, state.n_k, beta, topic_mask)
+        cur_th = tuple(
+            theta_from_compact(ndk, li, lv, alpha, K)
+            for ndk, li, lv in zip(state.n_dk, lab_ids_t, lab_valid_t)
+        )
+        return cur_ph, cur_th
+
+    def block(carry, block_keys):
+        state, ph_hat, th_hat, s = carry
+        state, _ = jax.lax.scan(one_sweep, state, block_keys)
+        cur_ph, cur_th = cur_estimates(state)
+        s = s + 1
+        ph_hat = running_average(ph_hat, cur_ph, s)
+        th_hat = tuple(
+            running_average(t, c, s) for t, c in zip(th_hat, cur_th)
+        )
+        if perplexity:
+            ll = jnp.float32(0.0)
+            n = jnp.float32(0.0)
+            for g, (tv, tf) in enumerate(zip(toks_v, toks_f)):
+                llg, ng = log_likelihood(cur_th[g], cur_ph, tv, tf)
+                ll = ll + llg
+                n = n + ng.astype(jnp.float32)
+            perp = jnp.exp(-ll / jnp.maximum(n, 1.0))
+        else:
+            perp = jnp.float32(0.0)
+        return (state, ph_hat, th_hat, s), perp
+
+    ph0, th0, s0 = avg0
+    carry0 = (state, ph0, th0, s0)
+    (state, ph_hat, th_hat, s), perps = jax.lax.scan(
+        block, carry0, keys[: n_blocks * thinning].reshape(n_blocks, thinning, 2)
+    )
+    if rem:
+        state, _ = jax.lax.scan(one_sweep, state, keys[n_blocks * thinning : iters])
+    return state, ph_hat, th_hat, s, perps
 
 
 @partial(jax.jit, static_argnames=("it", "thinning", "alpha"))
@@ -207,6 +280,7 @@ class LabeledLDA:
         seed: int = 0,
         k_pad: int = 128,
         n_buckets: int = 1,
+        sweep: str = "auto",
     ):
         self.alpha = float(alpha)
         self.beta = float(beta)
@@ -234,39 +308,116 @@ class LabeledLDA:
         self.buckets: BucketedDocs = bucket_encode(bows, n_buckets=n_buckets)
         self.toks_v = tuple(jnp.asarray(x) for x in self.buckets.tok_v)
         self.toks_f = tuple(jnp.asarray(x) for x in self.buckets.tok_f)
-        self.labs_t = tuple(
-            jnp.asarray(lab_mask[ix]) for ix in self.buckets.doc_idx
-        )
         self.n_tokens = int(sum(int(x.sum()) for x in self.buckets.tok_f))
+
+        # sweep kernel: "compact" works on each doc's admissible-label slots
+        # (A = max labels/doc) — the identical sampler with the zero lanes
+        # removed (ops/gibbs.CompactLDACounts, exact-equivalence tested).
+        # "auto" resolves to DENSE: measured A/B on a v5e chip
+        # (benchmarks/probe_ab_sweep.py) puts dense at 10.7-11.5 M tokens/s
+        # vs 1.6 M for compact — TPU scatter/gather of per-element indices
+        # serialises, while the dense path's row gathers and bf16 MXU cumsum
+        # stay vectorised.  Compact remains available for index-friendly
+        # backends.
+        lab_ids, lab_valid = compact_labels(lab_mask)
+        self.A = lab_ids.shape[1]
+        if sweep == "auto":
+            sweep = "dense"
+        self.sweep = sweep
 
         self._key = jax.random.PRNGKey(seed)
         self._key, k0 = jax.random.split(self._key)
-        self.counts = init_bucket_counts(
-            k0, self.toks_v, self.toks_f, self.labs_t, self.V
-        )
+        if sweep == "compact":
+            self.lab_ids_t = tuple(
+                jnp.asarray(lab_ids[ix]) for ix in self.buckets.doc_idx
+            )
+            self.lab_valid_t = tuple(
+                jnp.asarray(lab_valid[ix]) for ix in self.buckets.doc_idx
+            )
+            self.counts = init_bucket_counts_compact(
+                k0, self.toks_v, self.toks_f, self.lab_ids_t, self.lab_valid_t,
+                self.V, self.Kp,
+            )
+        else:
+            self.labs_t = tuple(
+                jnp.asarray(lab_mask[ix]) for ix in self.buckets.doc_idx
+            )
+            self.counts = init_bucket_counts(
+                k0, self.toks_v, self.toks_f, self.labs_t, self.V
+            )
 
         self.ph_hat = jnp.zeros((self.V, self.Kp), jnp.float32)  # (V, K) layout
         self._th_hat_t: Optional[Tuple[jnp.ndarray, ...]] = None  # device, per bucket
         self._th_hat_np: Optional[np.ndarray] = np.zeros((self.D, self.Kp), np.float32)
+        self._avg_s = 0  # number of thinned saves folded into ph_hat/th_hat
         self.cur_perplx: List[float] = []
 
     # ---------------------------------------------------------------- train
 
-    def run_training(self, iters: int, thinning: int, perplexity: bool = True) -> None:
+    def _th_hat_tuple(self) -> Tuple[jnp.ndarray, ...]:
+        """Per-bucket device θ̂ tuple (rebuilt from the host array if needed)."""
+        if self._th_hat_t is not None:
+            return self._th_hat_t
+        th = self._th_hat_np
+        return tuple(jnp.asarray(th[ix]) for ix in self.buckets.doc_idx)
+
+    def run_training(
+        self,
+        iters: int,
+        thinning: int,
+        perplexity: bool = True,
+        continue_avg: bool = False,
+    ) -> None:
+        """``iters`` Gibbs sweeps (reference run_training, LabeledLDA.py:127-153).
+
+        ``continue_avg=True`` carries the thinned φ̂/θ̂ running means across
+        calls (for checkpointed / chunked training); the default restarts
+        them each call, as the reference does.
+        """
         self._key, k = jax.random.split(self._key)
-        self.counts, self.ph_hat, th_hat_t, perps = _train_loop(
-            k,
-            self.counts,
-            self.toks_v,
-            self.toks_f,
-            self.labs_t,
-            self.topic_mask,
-            iters=int(iters),
-            thinning=int(thinning),
-            alpha=self.alpha,
-            beta=self.beta,
-            perplexity=perplexity,
-        )
+        if continue_avg and self._avg_s > 0:
+            avg0 = (self.ph_hat, self._th_hat_tuple(), jnp.int32(self._avg_s))
+        else:
+            avg0 = (
+                jnp.zeros((self.V, self.Kp), jnp.float32),
+                tuple(
+                    jnp.zeros((len(ix), self.Kp), jnp.float32)
+                    for ix in self.buckets.doc_idx
+                ),
+                jnp.int32(0),
+            )
+        if self.sweep == "compact":
+            self.counts, self.ph_hat, th_hat_t, s, perps = _train_loop_compact(
+                k,
+                self.counts,
+                self.toks_v,
+                self.toks_f,
+                self.lab_ids_t,
+                self.lab_valid_t,
+                self.topic_mask,
+                avg0,
+                iters=int(iters),
+                thinning=int(thinning),
+                alpha=self.alpha,
+                beta=self.beta,
+                perplexity=perplexity,
+            )
+        else:
+            self.counts, self.ph_hat, th_hat_t, s, perps = _train_loop(
+                k,
+                self.counts,
+                self.toks_v,
+                self.toks_f,
+                self.labs_t,
+                self.topic_mask,
+                avg0,
+                iters=int(iters),
+                thinning=int(thinning),
+                alpha=self.alpha,
+                beta=self.beta,
+                perplexity=perplexity,
+            )
+        self._avg_s = int(s)
         # θ̂ stays on device; host reassembly is deferred to first .th_hat access
         # (the (D, Kp) transfer is pure overhead inside the training loop)
         self._th_hat_t = th_hat_t
@@ -342,10 +493,18 @@ class LabeledLDA:
 
     def get_theta(self) -> np.ndarray:
         """(D, K) label-masked θ (LabeledLDA.py:236-239)."""
-        per_bucket = [
-            np.asarray(theta_from_counts(ndk, lb, self.alpha))
-            for ndk, lb in zip(self.counts.n_dk, self.labs_t)
-        ]
+        if self.sweep == "compact":
+            per_bucket = [
+                np.asarray(theta_from_compact(ndk, li, lv, self.alpha, self.Kp))
+                for ndk, li, lv in zip(
+                    self.counts.n_dk, self.lab_ids_t, self.lab_valid_t
+                )
+            ]
+        else:
+            per_bucket = [
+                np.asarray(theta_from_counts(ndk, lb, self.alpha))
+                for ndk, lb in zip(self.counts.n_dk, self.labs_t)
+            ]
         return self.buckets.scatter_rows(per_bucket)[:, : self.K]
 
     # ------------------------------------------------------------ diagnostics
@@ -372,7 +531,13 @@ class LabeledLDA:
         ll = 0.0
         n = 0
         for g in range(self.buckets.n_buckets):
-            th = theta_from_counts(self.counts.n_dk[g], self.labs_t[g], self.alpha)
+            if self.sweep == "compact":
+                th = theta_from_compact(
+                    self.counts.n_dk[g], self.lab_ids_t[g], self.lab_valid_t[g],
+                    self.alpha, self.Kp,
+                )
+            else:
+                th = theta_from_counts(self.counts.n_dk[g], self.labs_t[g], self.alpha)
             llg, ng = log_likelihood(th, phi, self.toks_v[g], self.toks_f[g])
             ll += float(llg)
             n += int(ng)

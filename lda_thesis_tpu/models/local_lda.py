@@ -98,13 +98,19 @@ class LocalLDA:
     def run_training(self, iters: int, thinning: int) -> None:
         """Gibbs sweeps + thinned φ/θ averaging (reference LocalLDA.py:86-109)."""
         self._key, k = jax.random.split(self._key)
-        self.counts, ph_hat, th_hat_t, _ = _train_loop(
+        avg0 = (
+            jnp.zeros((self.V, self.Kp), jnp.float32),
+            tuple(jnp.zeros(ndk.shape, jnp.float32) for ndk in self.counts.n_dk),
+            jnp.int32(0),
+        )
+        self.counts, ph_hat, th_hat_t, _, _ = _train_loop(
             k,
             self.counts,
             self.toks_v,
             self.toks_f,
             self.labs_t,
             self.topic_mask,
+            avg0,
             iters=int(iters),
             thinning=int(thinning),
             alpha=self.a,

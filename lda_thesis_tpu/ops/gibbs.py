@@ -36,10 +36,18 @@ from .sampling import gumbel_argmax, mask_to_logits
 __all__ = [
     "LDACounts",
     "BucketLDAState",
+    "CompactLDACounts",
+    "CompactBucketState",
     "init_counts",
     "init_bucket_counts",
+    "init_counts_compact",
+    "init_bucket_counts_compact",
     "train_sweep",
     "train_sweep_buckets",
+    "train_sweep_compact",
+    "train_sweep_buckets_compact",
+    "densify_ndk",
+    "theta_from_compact",
     "foldin_sweep",
     "cascade_test_loop",
     "log_likelihood",
@@ -135,7 +143,6 @@ def train_sweep(
     V = counts.n_vk.shape[0]
     vbeta = jnp.float32(V * beta)
     tri = jnp.triu(jnp.ones((K, K), jnp.float32))  # inclusive-cumsum operator
-    uniforms = jax.random.uniform(key, (U, D), dtype=jnp.float32)
     fF = tok_f.astype(jnp.float32)
     use_pallas = pallas_supported()
 
@@ -206,6 +213,7 @@ def train_sweep(
         n_vk = n_vk.at[v, z_new].add(ff)
         return (n_dk, n_vk, n_k), z_new
 
+    uniforms = jax.random.uniform(key, (U, D), dtype=jnp.float32)
     n_dk0 = counts.n_dk.astype(jnp.float32)
     n_vk0 = counts.n_vk.astype(jnp.float32)
     n_k0 = counts.n_k.astype(jnp.float32)
@@ -271,6 +279,145 @@ def foldin_sweep(
     return z_t.T.astype(jnp.int32), n_dk
 
 
+class CompactLDACounts(NamedTuple):
+    """Gibbs state over the **compact topic support** of each document.
+
+    Labeled LDA's posterior is zero outside a document's admissible labels
+    (root ∪ its JEL codes — typically ~4 of ~400 topics, reference
+    LabeledLDA.py:113-117), so per-document work lives on a tiny (D, A)
+    slot axis instead of the full (D, K) lane axis:
+
+    * ``z``    (D, U) int32 — *compact slot* index of each type's topic,
+    * ``n_dk`` (D, A) float32 — compact doc-topic counts,
+    * ``n_vk`` (V, K) / ``n_k`` (K,) — dense global tables (needed for φ).
+
+    ``lab_ids (D, A)`` maps slot → global topic id (ascending per row, pad
+    slots carry id 0 with ``lab_valid = 0``).  With ascending ids the
+    inverse-CDF draw lands on the *same global topic* as the dense
+    :func:`train_sweep` given the same uniform — the compact sweep is the
+    identical sampler, just with the zero lanes removed.
+    """
+
+    z: jax.Array
+    n_dk: jax.Array
+    n_vk: jax.Array
+    n_k: jax.Array
+
+
+def init_counts_compact(
+    key: jax.Array,
+    tok_v: jax.Array,  # (D, U) int32
+    tok_f: jax.Array,  # (D, U) int32
+    lab_ids: jax.Array,  # (D, A) int32, ascending, pads = 0
+    lab_valid: jax.Array,  # (D, A) float 1/0
+    V: int,
+    K: int,
+) -> CompactLDACounts:
+    """Compact analogue of :func:`init_counts`: z ~ uniform over the doc's
+    admissible labels (LabeledLDA.py:85-92)."""
+    D, U = tok_v.shape
+    A = lab_ids.shape[1]
+    c_valid = jnp.cumsum(lab_valid, axis=1)  # (D, A)
+    total = c_valid[:, -1]
+    uniforms = jax.random.uniform(key, (U, D), dtype=jnp.float32)
+    fF = tok_f.astype(jnp.float32)
+
+    def step(carry, xs):
+        n_dk, n_vk, n_k = carry
+        v, ff, u = xs
+        zc = jnp.sum(c_valid < (u * total)[:, None], axis=1).astype(jnp.int32)
+        zg = jnp.take_along_axis(lab_ids, zc[:, None], axis=1)[:, 0]
+        n_dk = n_dk + ff[:, None] * jax.nn.one_hot(zc, A, dtype=jnp.float32)
+        n_vk = n_vk.at[v, zg].add(ff)
+        n_k = n_k.at[zg].add(ff)
+        return (n_dk, n_vk, n_k), zc
+
+    carry0 = (
+        jnp.zeros((D, A), jnp.float32),
+        jnp.zeros((V, K), jnp.float32),
+        jnp.zeros((K,), jnp.float32),
+    )
+    (n_dk, n_vk, n_k), z_t = jax.lax.scan(step, carry0, (tok_v.T, fF.T, uniforms))
+    return CompactLDACounts(z=z_t.T.astype(jnp.int32), n_dk=n_dk, n_vk=n_vk, n_k=n_k)
+
+
+def train_sweep_compact(
+    key: jax.Array,
+    counts: CompactLDACounts,
+    tok_v: jax.Array,
+    tok_f: jax.Array,
+    lab_ids: jax.Array,
+    lab_valid: jax.Array,
+    alpha: float,
+    beta: float,
+) -> CompactLDACounts:
+    """One collapsed-Gibbs sweep on the compact support (exact sampler).
+
+    Same posterior, visiting order and inverse-CDF draw as the dense
+    :func:`train_sweep` (reference math LabeledLDA.py:113-117) — but all
+    per-document tensors are (D, A) with A = max labels/doc instead of
+    (D, K), the topic-word gather is per *element* instead of per row, and
+    the MXU cumsum is an (A, A) matmul instead of (K, K).  For the abstracts
+    corpus (A=24 vs K=512 padded) this removes ~95% of the sweep's FLOPs
+    and HBM traffic.
+    """
+    D, U = tok_v.shape
+    A = lab_ids.shape[1]
+    K = counts.n_vk.shape[1]
+    V = counts.n_vk.shape[0]
+    vbeta = jnp.float32(V * beta)
+    tri = jnp.triu(jnp.ones((A, A), jnp.float32))
+    uniforms = jax.random.uniform(key, (U, D), dtype=jnp.float32)
+    fF = tok_f.astype(jnp.float32)
+    flat_ids = lab_ids.astype(jnp.int32)  # (D, A) global column per slot
+
+    def step(carry, xs):
+        n_dk, n_vk, n_k = carry
+        v, f, ff, zc_old, u = xs  # (D,) each
+        zg_old = jnp.take_along_axis(flat_ids, zc_old[:, None], axis=1)[:, 0]
+        n_dk = n_dk - ff[:, None] * jax.nn.one_hot(zc_old, A, dtype=jnp.float32)
+        n_vk = n_vk.at[v, zg_old].add(-ff)
+        n_k = n_k.at[zg_old].add(-ff)
+
+        flat = v[:, None] * K + flat_ids  # (D, A) flat index into n_vk
+        cv = n_vk.reshape(-1)[flat]
+        nk_g = n_k[flat_ids]  # (D, A)
+        w = lab_valid * (n_dk + alpha) * (cv + beta) * (1.0 / (nk_g + vbeta))
+        c = jnp.dot(w, tri, preferred_element_type=jnp.float32)
+        r = u * c[:, -1]
+        zc_new = jnp.sum(c < r[:, None], axis=1).astype(jnp.int32)
+        zc_new = jnp.where(f > 0, zc_new, zc_old)
+        zg_new = jnp.take_along_axis(flat_ids, zc_new[:, None], axis=1)[:, 0]
+
+        n_dk = n_dk + ff[:, None] * jax.nn.one_hot(zc_new, A, dtype=jnp.float32)
+        n_vk = n_vk.at[v, zg_new].add(ff)
+        n_k = n_k.at[zg_new].add(ff)
+        return (n_dk, n_vk, n_k), zc_new
+
+    (n_dk, n_vk, n_k), z_t = jax.lax.scan(
+        step,
+        (counts.n_dk.astype(jnp.float32), counts.n_vk, counts.n_k),
+        (tok_v.T, tok_f.T, fF.T, counts.z.T, uniforms),
+    )
+    return CompactLDACounts(z=z_t.T.astype(jnp.int32), n_dk=n_dk, n_vk=n_vk, n_k=n_k)
+
+
+def densify_ndk(n_dk_c: jax.Array, lab_ids: jax.Array, K: int) -> jax.Array:
+    """Scatter compact (D, A) doc-topic counts into dense (D, K)."""
+    D = n_dk_c.shape[0]
+    rows = jnp.broadcast_to(jnp.arange(D, dtype=jnp.int32)[:, None], lab_ids.shape)
+    return jnp.zeros((D, K), jnp.float32).at[rows, lab_ids].add(n_dk_c)
+
+
+def theta_from_compact(
+    n_dk_c: jax.Array, lab_ids: jax.Array, lab_valid: jax.Array, alpha: float, K: int
+) -> jax.Array:
+    """Dense (D, K) label-masked θ from compact counts (LabeledLDA.py:236-239)."""
+    num = n_dk_c + lab_valid * alpha
+    den = num.sum(axis=1, keepdims=True)
+    return densify_ndk(num / jnp.maximum(den, 1e-38), lab_ids, K)
+
+
 class BucketLDAState(NamedTuple):
     """Gibbs state over length-bucketed documents (data/buckets.py).
 
@@ -317,6 +464,50 @@ def train_sweep_buckets(
         zs.append(c.z)
         ndks.append(c.n_dk)
     return BucketLDAState(z=tuple(zs), n_dk=tuple(ndks), n_vk=n_vk, n_k=n_k)
+
+
+class CompactBucketState(NamedTuple):
+    """Compact-support Gibbs state over length-bucketed documents."""
+
+    z: Tuple[jax.Array, ...]  # per bucket (D_g, U_g) compact slot index
+    n_dk: Tuple[jax.Array, ...]  # per bucket (D_g, A)
+    n_vk: jax.Array  # (V, K) dense
+    n_k: jax.Array  # (K,)
+
+
+def init_bucket_counts_compact(
+    key, toks_v, toks_f, lab_ids_t, lab_valid_t, V: int, K: int
+) -> CompactBucketState:
+    """Per-bucket :func:`init_counts_compact` with shared global tables."""
+    n_vk = jnp.zeros((V, K), jnp.float32)
+    n_k = jnp.zeros((K,), jnp.float32)
+    zs, ndks = [], []
+    for g, (tv, tf, li, lv) in enumerate(zip(toks_v, toks_f, lab_ids_t, lab_valid_t)):
+        c = init_counts_compact(jax.random.fold_in(key, g), tv, tf, li, lv, V, K)
+        zs.append(c.z)
+        ndks.append(c.n_dk)
+        n_vk = n_vk + c.n_vk
+        n_k = n_k + c.n_k
+    return CompactBucketState(z=tuple(zs), n_dk=tuple(ndks), n_vk=n_vk, n_k=n_k)
+
+
+def train_sweep_buckets_compact(
+    key, state: CompactBucketState, toks_v, toks_f, lab_ids_t, lab_valid_t,
+    alpha: float, beta: float,
+) -> CompactBucketState:
+    """One full compact sweep over all buckets (sequential buckets, exact)."""
+    n_vk, n_k = state.n_vk, state.n_k
+    zs, ndks = [], []
+    for g, (tv, tf, li, lv) in enumerate(zip(toks_v, toks_f, lab_ids_t, lab_valid_t)):
+        c = train_sweep_compact(
+            jax.random.fold_in(key, g),
+            CompactLDACounts(z=state.z[g], n_dk=state.n_dk[g], n_vk=n_vk, n_k=n_k),
+            tv, tf, li, lv, alpha, beta,
+        )
+        n_vk, n_k = c.n_vk, c.n_k
+        zs.append(c.z)
+        ndks.append(c.n_dk)
+    return CompactBucketState(z=tuple(zs), n_dk=tuple(ndks), n_vk=n_vk, n_k=n_k)
 
 
 def cascade_test_loop(

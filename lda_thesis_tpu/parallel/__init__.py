@@ -11,6 +11,12 @@ TPU-native scaling axes the north star requires:
   Monte-Carlo error bars; pooled estimators average over chains.
 """
 
+from .bootstrap import (
+    chains_for,
+    initialize_distributed,
+    is_distributed,
+    make_global_mesh,
+)
 from .trainer import DistributedLabeledLDA
 from .sharded import (
     ShardedLDAState,
@@ -23,6 +29,10 @@ from .sharded import (
 __all__ = [
     "DistributedLabeledLDA",
     "ShardedLDAState",
+    "chains_for",
+    "initialize_distributed",
+    "is_distributed",
+    "make_global_mesh",
     "make_mesh",
     "make_sharded_train_step",
     "pooled_phi",

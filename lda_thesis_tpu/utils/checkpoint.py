@@ -66,13 +66,19 @@ def _model_kind(model) -> str:
     return type(model).__name__
 
 
-def save_model(path: str, model) -> None:
-    """Snapshot a LabeledLDA / LocalLDA / CascadeLDA / HSLDA training state."""
+def save_model(path: str, model, extra_meta: Dict[str, Any] = None) -> None:
+    """Snapshot a LabeledLDA / LocalLDA / CascadeLDA / HSLDA training state.
+
+    ``extra_meta`` lets callers record run-level progress (e.g. the CLI's
+    ``iters_done``) alongside the model state.
+    """
     kind = _model_kind(model)
     import jax.numpy as jnp  # noqa: F401
 
     arrays: Dict[str, Any] = {"rng_key": np.asarray(model._key)}
     meta: Dict[str, Any] = {"kind": kind}
+    if extra_meta:
+        meta.update(extra_meta)
 
     if kind in ("LabeledLDA", "LocalLDA"):
         # bucketed state: one z/n_dk pair per length bucket
@@ -85,6 +91,7 @@ def save_model(path: str, model) -> None:
             arrays.update(ph_hat=model.ph_hat, th_hat=model.th_hat)
             meta.update(alpha=model.alpha, beta=model.beta, K=model.K,
                         Kp=model.Kp, V=model.V, D=model.D,
+                        sweep=model.sweep, avg_s=int(model._avg_s),
                         labelmap=model.labelmap,
                         cur_perplx=list(map(float, model.cur_perplx)))
         else:
@@ -112,12 +119,14 @@ def save_model(path: str, model) -> None:
     save_checkpoint(path, arrays, meta)
 
 
-def restore_model(path: str, model) -> None:
+def restore_model(path: str, model) -> Dict[str, Any]:
     """Restore a snapshot into a *compatibly constructed* model instance.
 
     The instance must be built over the same corpus/vocabulary (shapes are
     validated); counts, thinned means, auxiliary state, and the RNG key are
     replaced so training continues exactly where the snapshot left off.
+    Returns the checkpoint metadata (including any ``extra_meta`` recorded
+    at save time, e.g. ``iters_done``).
     """
     import jax.numpy as jnp
 
@@ -134,14 +143,21 @@ def restore_model(path: str, model) -> None:
     _chk("D", model.D, meta["D"])
 
     if kind in ("LabeledLDA", "LocalLDA"):
-        from ..ops.gibbs import BucketLDAState
+        from ..ops.gibbs import BucketLDAState, CompactBucketState
 
         G = int(meta["n_buckets"])
         if len(model.counts.z) != G:
             raise ValueError(
                 f"bucket count mismatch: checkpoint {G}, model {len(model.counts.z)}"
             )
-        model.counts = BucketLDAState(
+        sweep = meta.get("sweep", "dense")
+        if kind == "LabeledLDA" and sweep != model.sweep:
+            raise ValueError(
+                f"sweep kernel mismatch: checkpoint {sweep!r}, model "
+                f"{model.sweep!r} (construct with sweep={sweep!r})"
+            )
+        state_cls = CompactBucketState if sweep == "compact" else BucketLDAState
+        model.counts = state_cls(
             z=tuple(jnp.asarray(arrays[f"z_{g}"]) for g in range(G)),
             n_dk=tuple(jnp.asarray(arrays[f"n_dk_{g}"]) for g in range(G)),
             n_vk=jnp.asarray(arrays["n_vk"]),
@@ -156,6 +172,7 @@ def restore_model(path: str, model) -> None:
                 model.th_hat = np.asarray(arrays["th_hat"])
         if kind == "LabeledLDA":
             model.cur_perplx = list(meta.get("cur_perplx", []))
+            model._avg_s = int(meta.get("avg_s", 0))
     elif kind == "CascadeLDA":
         model.ph = np.asarray(arrays["ph"])
     elif kind == "HSLDA":
@@ -174,3 +191,4 @@ def restore_model(path: str, model) -> None:
             model.ph = np.asarray(arrays["ph"])
             model.th = np.asarray(arrays["th"])
     model._key = jnp.asarray(arrays["rng_key"])
+    return meta

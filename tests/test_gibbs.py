@@ -222,3 +222,54 @@ def test_test_loop_runs_trailing_remainder_sweeps():
     avg8, z8 = _test_loop(key, tok_v, tok_f, phi, mask, it=8, thinning=4, alpha=0.1)
     np.testing.assert_allclose(np.asarray(avg10), np.asarray(avg8), rtol=1e-6)
     assert np.any(np.asarray(z10) != np.asarray(z8))
+
+
+def test_compact_sweep_exactly_matches_dense():
+    """The compact-support sweep is the *identical* sampler: with ascending
+    slot ids and the same key, every draw lands on the same global topic and
+    all count tensors match the dense path exactly (ops/gibbs.py
+    CompactLDACounts invariant)."""
+    from lda_thesis_tpu.data.encode import compact_labels
+    from lda_thesis_tpu.models.state import theta_from_counts
+    from lda_thesis_tpu.ops.gibbs import (
+        densify_ndk,
+        init_counts_compact,
+        theta_from_compact,
+        train_sweep_compact,
+    )
+
+    rng = np.random.default_rng(0)
+    D, U, V, K = 12, 7, 20, 16
+    tok_v = jnp.asarray(rng.integers(0, V, (D, U)).astype(np.int32))
+    tok_f = jnp.asarray(rng.integers(0, 4, (D, U)).astype(np.int32))
+    mask = ((rng.random((D, K)) < 0.25) | (np.arange(K) == 0)[None, :]).astype(np.float32)
+    lab_ids, lab_valid = compact_labels(mask)
+    li, lv = jnp.asarray(lab_ids), jnp.asarray(lab_valid)
+    labs = jnp.asarray(mask)
+
+    key = jax.random.PRNGKey(3)
+    cd = init_counts(key, tok_v, tok_f, labs, V)
+    cc = init_counts_compact(key, tok_v, tok_f, li, lv, V, K)
+
+    def zg(c):
+        return np.asarray(jnp.take_along_axis(li, c.z.reshape(D, -1), axis=1))
+
+    assert (np.asarray(cd.z) == zg(cc)).all()
+    np.testing.assert_allclose(np.asarray(cd.n_vk), np.asarray(cc.n_vk))
+
+    k2 = jax.random.PRNGKey(11)
+    for _ in range(3):
+        k2, ks = jax.random.split(k2)
+        cd = train_sweep(ks, cd, tok_v, tok_f, labs, 0.1, 0.01)
+        cc = train_sweep_compact(ks, cc, tok_v, tok_f, li, lv, 0.1, 0.01)
+    assert (np.asarray(cd.z) == zg(cc)).all()
+    np.testing.assert_allclose(np.asarray(cd.n_vk), np.asarray(cc.n_vk))
+    np.testing.assert_allclose(np.asarray(cd.n_k), np.asarray(cc.n_k))
+    np.testing.assert_allclose(
+        np.asarray(cd.n_dk), np.asarray(densify_ndk(cc.n_dk, li, K))
+    )
+    np.testing.assert_allclose(
+        np.asarray(theta_from_compact(cc.n_dk, li, lv, 0.1, K)),
+        np.asarray(theta_from_counts(cd.n_dk, labs, 0.1)),
+        atol=1e-6,
+    )
