@@ -1,0 +1,122 @@
+"""Thesis-scale quality parity runs (BASELINE.md rows) — repo side.
+
+Runs the repo's L-LDA / CascadeLDA at the reference's own configurations on
+abstracts_data.csv and appends one JSON line per run to PARITY.jsonl:
+
+    python benchmarks/run_parity.py --model llda    --depth 1 --it 2000 --s 10
+    python benchmarks/run_parity.py --model llda    --depth 3 --it 2000 --s 25
+    python benchmarks/run_parity.py --model cascade --it 4 --s 2   # evals d=1..3
+
+Reference targets (thesis evaluation table, BASELINE.md:15-20):
+    L-LDA   d3 (2000;25) AUC 0.862 | d2 (2000;25) 0.885 | d1 (2000;10) 0.898
+    Cascade d3 (4;2)     AUC 0.901 | d2 0.934 | d1 0.941  (published)
+    Cascade measured on this machine (benchmarks/run_reference_cascade.py,
+    seed 42): d1 0.86 / d2 0.84 / d3 0.81
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+DATA = "/root/reference/abstracts_data.csv"
+OUT = "/root/repo/PARITY.jsonl"
+
+
+def record(row: dict) -> None:
+    row["ts"] = time.strftime("%Y-%m-%d %H:%M:%S")
+    with open(OUT, "a") as f:
+        f.write(json.dumps(row) + "\n")
+    print(json.dumps(row), flush=True)
+
+
+def run_llda(depth: int, it: int, s: int, seed: int) -> None:
+    from lda_thesis_tpu.data.corpus import load_corpus, split_data
+    from lda_thesis_tpu.data.vocab import prune_dict
+    from lda_thesis_tpu.eval.metrics import binary_yreal, evaluate_ranking
+    from lda_thesis_tpu.models.labeled_lda import LabeledLDA
+
+    t0 = time.time()
+    corpus = load_corpus(DATA, d=depth, mode="truncate")
+    train, test = split_data(corpus, seed=seed)
+    dicti = prune_dict(train.docs, lower=0, upper=1)
+    model = LabeledLDA(train.docs, train.labs, list(train.labelset), dicti,
+                       alpha=0.1, beta=0.01, seed=seed)
+    model.run_training(it, s, perplexity=False)
+    t_train = time.time() - t0
+    th = model.run_test(test.docs, it, s)
+    t_all = time.time() - t0
+
+    y_bin = binary_yreal(test.labs, model.labelmap)[:, 1:]
+    th = np.asarray(th)[:, 1:]
+    nonzero = np.where(th.sum(axis=1) != 0)[0]
+    m = evaluate_ranking(th[nonzero], y_bin[nonzero])
+    record({
+        "model": "llda", "depth": depth, "it": it, "thinning": s,
+        "seed": seed, "auc": round(m["auc_roc"], 4),
+        "one_hit": round(m["one_hit"], 4), "two_hit": round(m["two_hit"], 4),
+        "f1": round(m["f1_macro"], 4),
+        "train_s": round(t_train, 1), "wall_s": round(t_all, 1),
+    })
+
+
+def run_cascade(it: int, s: int, seed: int, sweep: str = "dense",
+                threshold: float = 0.95) -> None:
+    from lda_thesis_tpu.data.corpus import load_corpus, split_data
+    from lda_thesis_tpu.data.vocab import prune_dict
+    from lda_thesis_tpu.eval.cascade import setup_theta
+    from lda_thesis_tpu.eval.metrics import binary_yreal, evaluate_ranking
+    from lda_thesis_tpu.models.cascade_lda import CascadeLDA
+
+    t0 = time.time()
+    corpus = load_corpus(DATA, d=3, mode="prefix")
+    train, test = split_data(corpus, seed=seed)
+    dicti = prune_dict(train.docs, lower=0, upper=1)
+    model = CascadeLDA(train.docs, train.labs, list(train.labelset), dicti,
+                       alpha=0.1, beta=0.01, seed=seed, sweep=sweep)
+    model.go_down_tree(it=it, s=s)
+    t_train = time.time() - t0
+    l1, l2, l3 = model.test_down_tree_batch(test.docs, it=it, thinning=s,
+                                            threshold=threshold)
+    t_all = time.time() - t0
+
+    th_all = setup_theta(l1, l2, l3, model.labelmap)
+    y_all = binary_yreal(test.labs, model.labelmap)
+    out = {"model": "cascade", "it": it, "thinning": s, "seed": seed,
+           "sweep": sweep, "train_s": round(t_train, 1),
+           "wall_s": round(t_all, 1)}
+    for depth in (1, 2, 3):
+        inds = np.array([len(x) == depth for x in model.labelmap.keys()])
+        y_bin, th = y_all[:, inds], th_all[:, inds]
+        valid = (th.sum(axis=1) != 0) & (y_bin.sum(axis=1) != 0)
+        m = evaluate_ranking(th[valid], y_bin[valid])
+        out[f"auc_d{depth}"] = round(m["auc_roc"], 4)
+        out[f"one_hit_d{depth}"] = round(m["one_hit"], 4)
+        out[f"two_hit_d{depth}"] = round(m["two_hit"], 4)
+        out[f"f1_d{depth}"] = round(m["f1_macro"], 4)
+    record(out)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", choices=("llda", "cascade"), required=True)
+    ap.add_argument("--depth", type=int, default=3)
+    ap.add_argument("--it", type=int, required=True)
+    ap.add_argument("--s", type=int, required=True)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--sweep", default="dense")
+    args = ap.parse_args()
+    if args.model == "llda":
+        run_llda(args.depth, args.it, args.s, args.seed)
+    else:
+        run_cascade(args.it, args.s, args.seed, sweep=args.sweep)
+
+
+if __name__ == "__main__":
+    main()

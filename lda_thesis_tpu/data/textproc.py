@@ -97,20 +97,26 @@ def preprocess_documents(
 def prep_doc(
     doc: str,
     stem: bool = False,
+    lemma: bool = True,
     stopwords: frozenset = STOPWORDS,
 ) -> List[str]:
-    """LocalLDA per-document preprocessing.
+    """LocalLDA per-document preprocessing (reference LocalLDA.py:137-151).
 
-    The reference defaults to WordNet lemmatisation (LocalLDA.py:148-149);
-    WordNet corpus data is an optional dependency here, so stemming (the
-    reference's ``stem=True`` branch) is the default fallback when no
-    lemmatiser is available.
+    Matches the reference's flag semantics: ``stem=True`` Porter-stems,
+    otherwise ``lemma=True`` (the reference default) lemmatises each token
+    with a WordNet-style noun lemmatiser (vendored — data/lemmatizer.py —
+    since the WordNet corpus itself is an optional nltk download), and
+    ``stem=False, lemma=False`` leaves tokens raw.
     """
     doc = doc.lower()
     doc = _RE_NONWORD.sub("", doc)
     words = [w for w in doc.split() if w not in stopwords and len(w) > 2]
     if stem:
         return [_STEMMER.stem(w) for w in words]
+    if lemma:
+        from .lemmatizer import lemmatize
+
+        return [lemmatize(w) for w in words]
     return words
 
 
@@ -120,6 +126,9 @@ def split_sentences(doc: str) -> List[str]:
 
 
 def prep_docs(
-    docs: Sequence[str], stem: bool = False, stopwords: frozenset = STOPWORDS
+    docs: Sequence[str],
+    stem: bool = False,
+    lemma: bool = True,
+    stopwords: frozenset = STOPWORDS,
 ) -> List[List[str]]:
-    return [prep_doc(d, stem=stem, stopwords=stopwords) for d in docs]
+    return [prep_doc(d, stem=stem, lemma=lemma, stopwords=stopwords) for d in docs]

@@ -22,10 +22,15 @@ def test_sentence_splitting_not_char_level():
 
 
 def test_prep_doc_filters():
+    # default path lemmatises verbs (reference LocalLDA.py:148: pos='v'),
+    # so 'sat' -> 'sit'
     toks = prep_doc("The CAT!! sat, on a mat with numbers 123x ok")
-    assert "cat" in toks and "sat" in toks and "mat" in toks
+    assert "cat" in toks and "sit" in toks and "mat" in toks
     assert "the" not in toks and "on" not in toks  # stopwords
     assert all(len(t) > 2 for t in toks)
+    # raw branch keeps surface forms
+    raw = prep_doc("The CAT!! sat, on a mat", lemma=False)
+    assert "sat" in raw
 
 
 def test_train_and_estimators():
