@@ -34,6 +34,12 @@ def main() -> None:
     sys.path.insert(0, "/root/repo")
     import jax
 
+    # persistent compile cache: the tunnelled chip's compile latency is
+    # highly variable (12s-8min observed for the same program); cached
+    # executables make the benchmark measure the sampler, not the compiler
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from lda_thesis_tpu.data.corpus import load_corpus, split_data
     from lda_thesis_tpu.data.vocab import prune_dict
     from lda_thesis_tpu.models.labeled_lda import LabeledLDA

@@ -82,16 +82,27 @@ def _train_cycle(key, counts, tok_v, mask, labs, eta, a, beta,
     hi = jnp.where(labs > 0, jnp.inf, 0.0)
     a_new = truncated_normal(k_a, lo, hi, loc=mean_a, scale=1.0)
 
-    # ---- m: Antoniak table counts (HSLDA.py:298-310, index-draw fix)
+    # ---- m: Antoniak table counts (HSLDA.py:298-310, index-draw fix).
+    # Drawn in document blocks so the (·, K, S) Stirling-logit transient
+    # stays bounded at real-corpus scale (D≈4.2k, S up to the longest doc).
     S = stirling_logs.shape[0]
     log_ab = jnp.log(jnp.maximum(alpha * beta, 1e-38))  # (K,)
-    n = jnp.minimum(counts.n_dk, S - 1)  # (D, K) counts clipped to the table
+    n_clip = jnp.minimum(counts.n_dk, S - 1)  # (D, K) clipped to the table
     marange = jnp.arange(S, dtype=jnp.float32)
-    logits = (
-        stirling_logs[n]  # (D, K, S) log s(n, m), -inf above n
-        + marange[None, None, :] * log_ab[None, :, None]
-    )
-    m_aux = gumbel_argmax(k_m, logits, axis=2)  # (D, K) table counts
+    D_BLOCK = 512
+    Dp = ((D + D_BLOCK - 1) // D_BLOCK) * D_BLOCK
+    n_pad = jnp.pad(n_clip, ((0, Dp - D), (0, 0)))
+    m_blocks = []
+    for g in range(Dp // D_BLOCK):
+        nb = n_pad[g * D_BLOCK : (g + 1) * D_BLOCK]
+        logits = (
+            stirling_logs[nb]  # (D_BLOCK, K, S) log s(n, m), -inf above n
+            + marange[None, None, :] * log_ab[None, :, None]
+        )
+        m_blocks.append(
+            gumbel_argmax(jax.random.fold_in(k_m, g), logits, axis=2)
+        )
+    m_aux = jnp.concatenate(m_blocks, axis=0)[:D]  # (D, K) table counts
     mdot = m_aux.astype(jnp.float32).mean(axis=0)  # reference scaling (HSLDA.py:310)
 
     # ---- β ~ Dir(mdot + α') (HSLDA.py:294-296)

@@ -40,8 +40,9 @@ from ..ops.gibbs import (
     init_bucket_counts_compact,
     log_likelihood,
     theta_from_compact,
-    train_sweep_buckets,
+    to_fast_layout,
     train_sweep_buckets_compact,
+    train_sweep_fast,
 )
 from .state import (
     phi_from_counts,
@@ -81,27 +82,54 @@ def _train_loop(
     run without a save, matching the reference's multiples-only rule.
     ``avg0`` carries the running average across calls so checkpointed /
     chunked training continues the same thinned mean.
+
+    All sweeps run in the position-major **fast layout** (padding +
+    transposes hoisted out of the loop, ops/gibbs.to_fast_layout); the
+    state converts back to the public (D, U)/(D, K) layout on exit only.
     """
     V, K = state.n_vk.shape
+    G = len(state.z)
+    Ds = tuple(int(lb.shape[0]) for lb in labs_t)
     n_blocks = iters // thinning
     rem = iters - n_blocks * thinning
     keys = jax.random.split(key, iters + 1)
 
-    def one_sweep(state, k):
-        return train_sweep_buckets(k, state, toks_v, toks_f, labs_t, alpha, beta), None
+    fast = [
+        to_fast_layout(state.z[g], state.n_dk[g], toks_v[g], toks_f[g], labs_t[g])
+        for g in range(G)
+    ]
+    z_t0 = tuple(f[0] for f in fast)
+    ndk0 = tuple(f[1] for f in fast)
+    tvs = tuple(f[2] for f in fast)
+    tfs = tuple(f[3] for f in fast)
+    ffs = tuple(f[4] for f in fast)
+    labps = tuple(f[5] for f in fast)
 
-    def cur_estimates(state):
-        cur_ph = phi_from_counts(state.n_vk, state.n_k, beta, topic_mask)
+    def one_sweep(carry, k):
+        z_t, ndk, n_vk, n_k = carry
+        zs, nds = [], []
+        for g in range(G):
+            zg, ng, n_vk, n_k = train_sweep_fast(
+                jax.random.fold_in(k, g), z_t[g], ndk[g], n_vk, n_k,
+                tvs[g], tfs[g], ffs[g], labps[g], alpha, beta,
+            )
+            zs.append(zg)
+            nds.append(ng)
+        return (tuple(zs), tuple(nds), n_vk, n_k), None
+
+    def cur_estimates(ndk, n_vk, n_k):
+        cur_ph = phi_from_counts(n_vk, n_k, beta, topic_mask)
         cur_th = tuple(
-            theta_from_counts(ndk, lb, alpha)
-            for ndk, lb in zip(state.n_dk, labs_t)
+            theta_from_counts(ndk[g][: Ds[g]], labs_t[g], alpha)
+            for g in range(G)
         )
         return cur_ph, cur_th
 
     def block(carry, block_keys):
-        state, ph_hat, th_hat, s = carry
-        state, _ = jax.lax.scan(one_sweep, state, block_keys)
-        cur_ph, cur_th = cur_estimates(state)
+        sweep_c, ph_hat, th_hat, s = carry
+        sweep_c, _ = jax.lax.scan(one_sweep, sweep_c, block_keys)
+        _, ndk, n_vk, n_k = sweep_c
+        cur_ph, cur_th = cur_estimates(ndk, n_vk, n_k)
         s = s + 1
         ph_hat = running_average(ph_hat, cur_ph, s)
         th_hat = tuple(
@@ -117,15 +145,23 @@ def _train_loop(
             perp = jnp.exp(-ll / jnp.maximum(n, 1.0))
         else:
             perp = jnp.float32(0.0)
-        return (state, ph_hat, th_hat, s), perp
+        return (sweep_c, ph_hat, th_hat, s), perp
 
     ph0, th0, s0 = avg0
-    carry0 = (state, ph0, th0, s0)
-    (state, ph_hat, th_hat, s), perps = jax.lax.scan(
+    carry0 = ((z_t0, ndk0, state.n_vk, state.n_k), ph0, th0, s0)
+    ((z_t, ndk, n_vk, n_k), ph_hat, th_hat, s), perps = jax.lax.scan(
         block, carry0, keys[: n_blocks * thinning].reshape(n_blocks, thinning, 2)
     )
     if rem:
-        state, _ = jax.lax.scan(one_sweep, state, keys[n_blocks * thinning : iters])
+        (z_t, ndk, n_vk, n_k), _ = jax.lax.scan(
+            one_sweep, (z_t, ndk, n_vk, n_k), keys[n_blocks * thinning : iters]
+        )
+    state = BucketLDAState(
+        z=tuple(z_t[g].T[: Ds[g]].astype(jnp.int32) for g in range(G)),
+        n_dk=tuple(ndk[g][: Ds[g]] for g in range(G)),
+        n_vk=n_vk,
+        n_k=n_k,
+    )
     return state, ph_hat, th_hat, s, perps
 
 
@@ -264,6 +300,16 @@ def _test_loop(key, tok_v, tok_f, phi, topic_mask, it: int, thinning: int, alpha
 
 
 # --------------------------------------------------------------------------
+
+
+@jax.jit
+def _ph_guards(ph):
+    """Device-side runtime guards (module-level jit: one compile, reused)."""
+    return (
+        jnp.any(ph < 0),
+        jnp.any(jnp.isnan(ph)),
+        jnp.any(ph.sum(axis=1) == 0),
+    )
 
 
 class LabeledLDA:
@@ -444,14 +490,7 @@ class LabeledLDA:
     def _check_ph_hat(self) -> None:
         """The reference's runtime guards (LabeledLDA.py:146-153), evaluated
         on device — only three booleans cross to the host."""
-        ph = self.ph_hat[:, : self.K]
-        neg, nan, dead = jax.jit(
-            lambda p: (
-                jnp.any(p < 0),
-                jnp.any(jnp.isnan(p)),
-                jnp.any(p.sum(axis=1) == 0),
-            )
-        )(ph)
+        neg, nan, dead = _ph_guards(self.ph_hat[:, : self.K])
         if bool(neg):
             raise ValueError("A negative value occurred in ph_hat")
         if bool(nan):

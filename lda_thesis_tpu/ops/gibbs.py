@@ -38,6 +38,8 @@ __all__ = [
     "BucketLDAState",
     "CompactLDACounts",
     "CompactBucketState",
+    "to_fast_layout",
+    "train_sweep_fast",
     "init_counts",
     "init_bucket_counts",
     "init_counts_compact",
@@ -277,6 +279,119 @@ def foldin_sweep(
 
     n_dk, z_t = jax.lax.scan(step, n_dk, (tok_v.T, tok_f.T, fF.T, z.T, uniforms))
     return z_t.T.astype(jnp.int32), n_dk
+
+
+def _fast_pad(D: int) -> int:
+    """Row padding for the fast-layout sweep: the Pallas kernel needs BLOCK
+    multiples; the XLA fallback only lane-multiples."""
+    from .gibbs_pallas import BLOCK, pallas_supported
+
+    m = BLOCK if pallas_supported() else 8
+    return ((D + m - 1) // m) * m
+
+
+def to_fast_layout(z, n_dk, tok_v, tok_f, labs):
+    """(D, ·) training operands -> padded, position-major layout.
+
+    The sweep scans over token positions; feeding it (U, Dp)-transposed
+    xs (materialised once, ``optimization_barrier`` so XLA cannot re-fuse
+    the transpose into every scan-step slice) and keeping z in the same
+    layout across sweeps removes the per-sweep transpose/pad traffic —
+    measured ~10x per-position on a v5e chip (benchmarks/probe_bisect2.py).
+    Padding rows carry f = 0 / labs = 0 and are algebraic no-ops.
+    """
+    D, U = tok_v.shape
+    Dp = _fast_pad(D)
+    pad = Dp - D
+
+    def pad_rows(x):
+        if pad == 0:
+            return x
+        return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+
+    bar = jax.lax.optimization_barrier
+    tok_v_t = pad_rows(tok_v).T  # (U, Dp)
+    tok_f_t = pad_rows(tok_f).T
+    fF_t = pad_rows(tok_f.astype(jnp.float32)).T
+    labs_p = pad_rows(labs)
+    z_t = pad_rows(z).T
+    n_dk_p = pad_rows(n_dk.astype(jnp.float32))
+    return z_t, n_dk_p, tok_v_t, tok_f_t, fF_t, labs_p
+
+
+def train_sweep_fast(
+    key: jax.Array,
+    z_t: jax.Array,  # (U, Dp) int32 — position-major current topics
+    n_dk: jax.Array,  # (Dp, K) float32
+    n_vk: jax.Array,  # (V, K) float32
+    n_k: jax.Array,  # (K,) float32
+    tok_v_t: jax.Array,  # (U, Dp) int32
+    tok_f_t: jax.Array,  # (U, Dp) int32
+    fF_t: jax.Array,  # (U, Dp) float32
+    labs: jax.Array,  # (Dp, K) float32
+    alpha: float,
+    beta: float,
+):
+    """One collapsed-Gibbs sweep in the fast layout (see to_fast_layout).
+
+    Identical sampler to :func:`train_sweep` (same posterior, same
+    decrement → draw → increment order); only the operand layout differs.
+    """
+    from .gibbs_pallas import fused_draw_update, pallas_supported
+
+    U, Dp = tok_v_t.shape
+    K = n_dk.shape[1]
+    V = n_vk.shape[0]
+    vbeta = jnp.float32(V * beta)
+    tri = jnp.triu(jnp.ones((K, K), jnp.float32))
+    uniforms = jax.random.uniform(key, (U, Dp), dtype=jnp.float32)
+
+    if pallas_supported():
+        def step(carry, xs):
+            n_dk, n_vk, n_k = carry
+            v, ff, z_old, u = xs
+            dec_k = jnp.zeros((K,), jnp.float32).at[z_old].add(ff)
+            nk_minus = n_k - dec_k
+            n_vk = n_vk.at[v, z_old].add(-ff)
+            cv = n_vk[v]
+            recip = 1.0 / (nk_minus + vbeta)
+            n_dk, z_new, dnk = fused_draw_update(
+                u, ff, z_old, labs, n_dk, cv, recip, tri, alpha, beta
+            )
+            n_vk = n_vk.at[v, z_new].add(ff)
+            n_k = n_k + dnk
+            return (n_dk, n_vk, n_k), z_new
+
+        (n_dk, n_vk, n_k), z_t = jax.lax.scan(
+            step, (n_dk, n_vk, n_k), (tok_v_t, fF_t, z_t, uniforms)
+        )
+        return z_t, n_dk, n_vk, n_k
+
+    def step(carry, xs):
+        n_dk, n_vk, n_k = carry
+        v, f, ff, z_old, u = xs
+        fo = ff[:, None] * jax.nn.one_hot(z_old, K, dtype=jnp.float32)
+        n_dk = n_dk - fo
+        n_k = n_k - fo.sum(axis=0)
+        n_vk = n_vk.at[v, z_old].add(-ff)
+
+        cv = n_vk[v]
+        w = labs * (n_dk + alpha) * (cv + beta) * (1.0 / (n_k + vbeta))
+        c = jnp.dot(w, tri, preferred_element_type=jnp.float32)
+        r = u * c[:, -1]
+        z_new = jnp.sum(c < r[:, None], axis=1).astype(jnp.int32)
+        z_new = jnp.where(f > 0, z_new, z_old)
+
+        fn = ff[:, None] * jax.nn.one_hot(z_new, K, dtype=jnp.float32)
+        n_dk = n_dk + fn
+        n_k = n_k + fn.sum(axis=0)
+        n_vk = n_vk.at[v, z_new].add(ff)
+        return (n_dk, n_vk, n_k), z_new
+
+    (n_dk, n_vk, n_k), z_t = jax.lax.scan(
+        step, (n_dk, n_vk, n_k), (tok_v_t, tok_f_t, fF_t, z_t, uniforms)
+    )
+    return z_t, n_dk, n_vk, n_k
 
 
 class CompactLDACounts(NamedTuple):

@@ -18,8 +18,13 @@ where ``M[d, l] = ⟨z̄_d, η_l⟩`` is maintained incrementally as z changes
 (the reference's ``means_a`` bookkeeping, HSLDA.py:229-235,265) and
 ``labs @ η²`` is hoisted out of the sweep entirely.
 
-opt=2/3 evaluate ``Φ(±(m_k − ξ))`` over a transient (D, L, K) tensor per
-position (K is small — default 15 — so this stays modest).
+opt=2/3 evaluate ``Φ(±(m_k − ξ))`` label-blockwise: the coupling needs a
+(D, L, K) tensor per position, which at real-corpus scale (D≈4.2k, L≈450)
+is ~120 MB per scan step — instead the label axis is processed in
+``L_BLOCK``-wide chunks (an unrolled loop of (D, L_BLOCK, K) transients,
+exact same sum).  Padded label slots contribute a k-independent constant
+to ``log p2`` (η row 0, M 0 → Φ(−ξ)), which the Gumbel-argmax draw is
+invariant to, so no masking is required.
 """
 
 from __future__ import annotations
@@ -110,11 +115,19 @@ def hslda_z_sweep(
 
     n_d = jnp.maximum(mask.sum(axis=1), 1).astype(jnp.float32)  # (D,)
     inv_nd = (1.0 / n_d)[:, None]
-    etaT = eta.T  # (K, L)
     vgamma = jnp.float32(V) * gamma
     # hoisted coupling terms
     if opt == 1:
         T2 = (labs @ (eta * eta)) * (0.5 * inv_nd * inv_nd)  # (D, K)
+    else:
+        # pad the label axis to the block width; padded slots have η = 0,
+        # labs = 0 and only shift log p2 by a per-document constant
+        L_BLOCK = min(64, L)
+        Lpad = ((L + L_BLOCK - 1) // L_BLOCK) * L_BLOCK - L
+        if Lpad:
+            labs = jnp.pad(labs, ((0, 0), (0, Lpad)))
+            eta = jnp.pad(eta, ((0, Lpad), (0, 0)))
+    etaT = eta.T  # (K, Lp)
     keys = jax.random.split(key, N)
 
     # M[d, l] = ⟨z̄_d, η_l⟩ maintained incrementally through the scan
@@ -145,14 +158,25 @@ def hslda_z_sweep(
             T1 = (C @ eta) * inv_nd  # (D, K) — MXU matmul
             logp2 = -(T1 + T2)
         else:
-            # candidate means m_k[d, l] = M[d, l] + η_lk / n_d, minus ξ
-            mk = M[:, :, None] + eta[None, :, :] * inv_nd[:, :, None]  # (D, L, K)
-            mk = mk - xi
-            if opt == 2:
-                logp2 = jnp.sum(labs[:, :, None] * _log_ndtr(mk), axis=1)
-            else:  # opt == 3
-                signed = jnp.where(labs[:, :, None] > 0, mk, -mk)
-                logp2 = jnp.sum(_log_ndtr(signed), axis=1)
+            # candidate means m_k[d, l] = M[d, l] + η_lk / n_d, minus ξ —
+            # evaluated in L_BLOCK-wide label chunks (unrolled) to bound
+            # the transient to (D, L_BLOCK, K)
+            Lp = eta.shape[0]
+            logp2 = jnp.zeros((D, K), jnp.float32)
+            for g in range(Lp // L_BLOCK):
+                sl = slice(g * L_BLOCK, (g + 1) * L_BLOCK)
+                mk = (
+                    M[:, sl, None]
+                    + eta[None, sl, :] * inv_nd[:, :, None]
+                    - xi
+                )  # (D, L_BLOCK, K)
+                if opt == 2:
+                    logp2 = logp2 + jnp.sum(
+                        labs[:, sl, None] * _log_ndtr(mk), axis=1
+                    )
+                else:  # opt == 3
+                    signed = jnp.where(labs[:, sl, None] > 0, mk, -mk)
+                    logp2 = logp2 + jnp.sum(_log_ndtr(signed), axis=1)
 
         z_new = gumbel_argmax(k, logp1 + logp2, axis=1)
         z_new = jnp.where(m > 0, z_new, z_old)
@@ -171,4 +195,4 @@ def hslda_z_sweep(
         (tok_v.T, mask.T, counts.z.T, keys),
     )
     new = HSLDACounts(z=z_t.T.astype(jnp.int32), n_dk=n_dk, n_vk=n_vk, n_k=n_k)
-    return new, M
+    return new, M[:, :L]

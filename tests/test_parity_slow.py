@@ -17,16 +17,23 @@ DATA = "/root/reference/abstracts_data.csv"
 
 pytestmark = pytest.mark.slow
 
-# (depth, iters, thinning, thesis AUC, tolerance)
+# (depth, iters, thinning, thesis AUC, tolerance, needs_accelerator)
+# depth-1 runs in ~4 min even on the fake-CPU test platform; depth-3's
+# (D=4171, K=512) sweeps need the TPU (run with LDA_TESTS_KEEP_PLATFORM=1)
 CASES = [
-    (1, 300, 10, 0.898, 0.035),
-    (3, 300, 25, 0.862, 0.035),
+    (1, 300, 10, 0.898, 0.035, False),
+    (3, 300, 25, 0.862, 0.035, True),
 ]
 
 
 @pytest.mark.skipif(not os.path.exists(DATA), reason="reference corpus absent")
-@pytest.mark.parametrize("depth,it,s,target,tol", CASES)
-def test_llda_auc_parity(depth, it, s, target, tol):
+@pytest.mark.parametrize("depth,it,s,target,tol,needs_acc", CASES)
+def test_llda_auc_parity(depth, it, s, target, tol, needs_acc):
+    import jax
+
+    if needs_acc and jax.default_backend() == "cpu":
+        pytest.skip("depth-3 parity needs the TPU "
+                    "(LDA_TESTS_KEEP_PLATFORM=1 pytest -m slow)")
     from lda_thesis_tpu.data.corpus import load_corpus, split_data
     from lda_thesis_tpu.data.vocab import prune_dict
     from lda_thesis_tpu.eval.metrics import binary_yreal, evaluate_ranking

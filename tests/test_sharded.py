@@ -66,9 +66,40 @@ def test_invariants_after_sharded_sweeps(mesh):
         assert (picked[f > 0] > 0).all()
 
 
+def test_one_data_shard_is_exactly_serial():
+    """AD-LDA degenerates to the exact serial sampler at 1 data shard: a
+    (1, 1) mesh with aligned RNG folding must reproduce `train_sweep`
+    bit-for-bit (the scheme's correctness anchor — staleness only enters
+    with >1 shard)."""
+    mesh1 = make_mesh(n_data=1, n_chains=1, devices=jax.devices()[:1])
+    tok_v, tok_f, labs = _toy(D=24, U=8, V=16, K=4, seed=5)
+    V = 16
+    tv, tf, lb = shard_corpus(mesh1, tok_v, tok_f, labs)
+    key = jax.random.PRNGKey(11)
+    state = init_sharded_state(key, mesh1, tv, tf, lb, V, n_chains=1)
+    step = make_sharded_train_step(mesh1, 1, alpha=0.5, beta=0.1)
+
+    # serial oracle with the sharded path's RNG folding (chain 0, shard 0)
+    k0 = jax.random.fold_in(jax.random.fold_in(key, 0), 0)
+    counts = init_counts(k0, jnp.asarray(tok_v), jnp.asarray(tok_f),
+                         jnp.asarray(labs), V)
+
+    for i in range(5):
+        key, k = jax.random.split(key)
+        state = step(k, state, tv, tf, lb, save=jnp.bool_(False))
+        ks = jax.random.fold_in(jax.random.fold_in(k, 0), 0)
+        counts = train_sweep(ks, counts, jnp.asarray(tok_v),
+                             jnp.asarray(tok_f), jnp.asarray(labs), 0.5, 0.1)
+
+    np.testing.assert_array_equal(np.asarray(state.z)[0], np.asarray(counts.z))
+    np.testing.assert_array_equal(np.asarray(state.n_dk)[0], np.asarray(counts.n_dk))
+    np.testing.assert_array_equal(np.asarray(state.n_vk)[0], np.asarray(counts.n_vk))
+    np.testing.assert_array_equal(np.asarray(state.n_k)[0], np.asarray(counts.n_k))
+
+
 def test_sharded_matches_single_device_distribution(mesh):
-    """AD-LDA with 1 data shard is exactly the serial sweep given equal RNG
-    folding; with 4 shards the stationary statistics must still be close."""
+    """AD-LDA with 4 data shards: the stationary statistics must stay close
+    to the serial sampler (exactness at 1 shard is proven above)."""
     tok_v, tok_f, labs = _toy(D=24, U=8, V=16, K=4, seed=1)
     V, K = 16, 4
     tv, tf, lb = shard_corpus(mesh, tok_v, tok_f, labs)
