@@ -67,7 +67,8 @@ def run_llda(depth: int, it: int, s: int, seed: int) -> None:
 
 
 def run_cascade(it: int, s: int, seed: int, sweep: str = "dense",
-                threshold: float = 0.95) -> None:
+                threshold: float = 0.95, root_it=None, root_s=None,
+                test_it=None, test_s=None) -> None:
     from lda_thesis_tpu.data.corpus import load_corpus, split_data
     from lda_thesis_tpu.data.vocab import prune_dict
     from lda_thesis_tpu.eval.cascade import setup_theta
@@ -80,10 +81,11 @@ def run_cascade(it: int, s: int, seed: int, sweep: str = "dense",
     dicti = prune_dict(train.docs, lower=0, upper=1)
     model = CascadeLDA(train.docs, train.labs, list(train.labelset), dicti,
                        alpha=0.1, beta=0.01, seed=seed, sweep=sweep)
-    model.go_down_tree(it=it, s=s)
+    model.go_down_tree(it=it, s=s, root_it=root_it, root_s=root_s)
     t_train = time.time() - t0
-    l1, l2, l3 = model.test_down_tree_batch(test.docs, it=it, thinning=s,
-                                            threshold=threshold)
+    l1, l2, l3 = model.test_down_tree_batch(
+        test.docs, it=it if test_it is None else test_it,
+        thinning=s if test_s is None else test_s, threshold=threshold)
     t_all = time.time() - t0
 
     th_all = setup_theta(l1, l2, l3, model.labelmap)
@@ -91,6 +93,10 @@ def run_cascade(it: int, s: int, seed: int, sweep: str = "dense",
     out = {"model": "cascade", "it": it, "thinning": s, "seed": seed,
            "sweep": sweep, "train_s": round(t_train, 1),
            "wall_s": round(t_all, 1)}
+    if root_it is not None or root_s is not None:
+        out["root_it"], out["root_s"] = root_it, root_s
+    if test_it is not None or test_s is not None:
+        out["test_it"], out["test_s"] = test_it, test_s
     for depth in (1, 2, 3):
         inds = np.array([len(x) == depth for x in model.labelmap.keys()])
         y_bin, th = y_all[:, inds], th_all[:, inds]
@@ -111,11 +117,17 @@ def main() -> None:
     ap.add_argument("--s", type=int, required=True)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--sweep", default="dense")
+    ap.add_argument("--root-it", type=int, default=None)
+    ap.add_argument("--root-s", type=int, default=None)
+    ap.add_argument("--test-it", type=int, default=None)
+    ap.add_argument("--test-s", type=int, default=None)
     args = ap.parse_args()
     if args.model == "llda":
         run_llda(args.depth, args.it, args.s, args.seed)
     else:
-        run_cascade(args.it, args.s, args.seed, sweep=args.sweep)
+        run_cascade(args.it, args.s, args.seed, sweep=args.sweep,
+                    root_it=args.root_it, root_s=args.root_s,
+                    test_it=args.test_it, test_s=args.test_s)
 
 
 if __name__ == "__main__":

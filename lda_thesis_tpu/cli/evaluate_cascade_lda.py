@@ -33,6 +33,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=None, help="RNG seed")
     p.add_argument("--threshold", type=float, default=0.95,
                    help="cascade expansion threshold")
+    p.add_argument("--root-it", type=int, default=None,
+                   help="root-level Gibbs iterations (default: same as -i)")
+    p.add_argument("--root-s", type=int, default=None,
+                   help="root-level thinning (default: same as -s)")
     return p
 
 
@@ -58,7 +62,8 @@ def main(argv=None) -> None:
     model = CascadeLDA(train.docs, train.labs, list(train.labelset), dicti,
                        alpha=opt.alpha, beta=opt.beta,
                        seed=opt.seed if opt.seed is not None else 0)
-    model.go_down_tree(it=opt.it, s=opt.thinning)
+    model.go_down_tree(it=opt.it, s=opt.thinning,
+                       root_it=opt.root_it, root_s=opt.root_s)
 
     print("Testing test data...")
     l1, l2, l3 = model.test_down_tree_batch(

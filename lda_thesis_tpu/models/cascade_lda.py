@@ -234,9 +234,21 @@ class CascadeLDA:
             # only the root level keeps its local-root row (CascadeLDA.py:146-147)
             self.ph[0, :] = ph_hat[:, 0]
 
-    def go_down_tree(self, it: int, s: int) -> None:
+    def go_down_tree(
+        self,
+        it: int,
+        s: int,
+        root_it: Optional[int] = None,
+        root_s: Optional[int] = None,
+    ) -> None:
         """Train the full tree: root level, then level-1 and level-2 parents —
-        each level as one joint batched training (CascadeLDA.py:135-184)."""
+        each level as one joint batched training (CascadeLDA.py:135-184).
+
+        ``root_it``/``root_s`` optionally give the root-level model its own
+        iteration schedule (framework extension; the reference hardcodes one
+        ``(it, s)`` for every node).  The root model is the only full-corpus
+        training — a few extra sweeps there lift depth-1 ranking quality
+        without over-sharpening the small deep-node models (PARITY.md)."""
         # root node: children = depth-1 labels, corpus = all docs
         row_mask = np.zeros((self.D, 1 + len(self.lablist_l1)), np.float32)
         row_mask[:, 0] = 1.0
@@ -247,7 +259,11 @@ class CascadeLDA:
         tok_v = jnp.asarray(self.tok_v)
         tok_f = jnp.asarray(self.tok_f)
         self._key, k0, k1 = jax.random.split(self._key, 3)
-        ph_hat = self._train_joint(k0, k1, tok_v, tok_f, row_mask, it, s)
+        ph_hat = self._train_joint(
+            k0, k1, tok_v, tok_f, row_mask,
+            it if root_it is None else root_it,
+            s if root_s is None else root_s,
+        )
         self.ph[0, :] = ph_hat[:, 0]
         for j, c in enumerate(self.lablist_l1):
             self.ph[self.labelmap[c], :] = ph_hat[:, 1 + j]

@@ -132,3 +132,19 @@ def test_setup_theta_empty_levels():
     labelmap = {"root": 0, "A": 1}
     th = setup_theta([[("A", 0.9)]], [[]], [[]], labelmap)
     np.testing.assert_allclose(th[0, 1], 0.9)
+
+
+def test_root_level_schedule():
+    """go_down_tree(root_it=, root_s=): the root model gets its own
+    iteration schedule (framework extension; deep levels keep (it, s))."""
+    docs, labs, labelset, dicti = _toy_corpus()
+    m = CascadeLDA(docs, labs, labelset, dicti, alpha=0.1, beta=0.01, seed=0)
+    m.go_down_tree(it=4, s=2, root_it=12, root_s=3)
+    # root + letter rows trained (root-level output), children rows trained
+    for lab in ("root", "A", "B", "A1", "A11"):
+        row = m.ph[m.labelmap[lab]]
+        assert np.isfinite(row).all()
+        assert row.sum() > 0
+    th = m.run_test(docs[:2], it=4, thinning=2, depth=1)
+    assert th.shape[0] == 2
+    assert np.isfinite(th).all()

@@ -1,0 +1,82 @@
+"""Elastic supervisor: fault-injected training resumes from the last
+checkpoint and ends bit-identical to an uninterrupted run."""
+
+import numpy as np
+import pytest
+
+from lda_thesis_tpu.data.vocab import prune_dict
+from lda_thesis_tpu.models.labeled_lda import LabeledLDA
+from lda_thesis_tpu.utils.elastic import ElasticGibbs, elastic_train
+
+DOCS = [
+    ["alpha", "beta", "gamma", "delta"],
+    ["beta", "beta", "epsilon"],
+    ["gamma", "delta", "delta", "zeta", "alpha"],
+    ["epsilon", "zeta", "alpha"],
+    ["delta", "gamma", "beta"],
+    ["zeta", "zeta", "epsilon", "alpha"],
+] * 3
+LABS = [["A"], ["B"], ["A", "C"], ["C"], ["B", "C"], ["A"]] * 3
+LABELSET = ["A", "B", "C"]
+
+
+def _make_model():
+    dicti = prune_dict(DOCS, lower=0, upper=1)
+    return LabeledLDA(DOCS, LABS, LABELSET, dicti, alpha=0.1, beta=0.01,
+                      seed=7, k_pad=8)
+
+
+def _counts(model):
+    return (np.asarray(model.counts.n_vk), np.asarray(model.counts.n_dk[0]))
+
+
+def test_elastic_restart_bit_identical(tmp_path):
+    ckpt = str(tmp_path / "el")
+
+    # uninterrupted oracle: 8 iterations in 4-chunks (the supervisor's own
+    # chunking, no faults)
+    oracle = elastic_train(_make_model, total_iters=8, thinning=2,
+                           checkpoint=str(tmp_path / "oracle"), save_every=4,
+                           perplexity=False)
+
+    # faulty run: dies after the first chunk twice, then succeeds
+    fails = {"n": 0}
+    real_run = ElasticGibbs.run
+
+    def flaky_run(self, total_iters, thinning, save_every=0, **kw):
+        real_run(self, min(self.iters + save_every, total_iters),
+                 thinning, save_every, **kw)
+        if fails["n"] < 2:
+            fails["n"] += 1
+            raise RuntimeError("injected preemption")
+        real_run(self, total_iters, thinning, save_every, **kw)
+
+    seen = []
+    ElasticGibbs.run, orig = flaky_run, ElasticGibbs.run
+    try:
+        model = elastic_train(
+            _make_model, total_iters=8, thinning=2, checkpoint=ckpt,
+            save_every=4, on_failure=lambda e, a: seen.append(str(e)),
+            perplexity=False)
+    finally:
+        ElasticGibbs.run = orig
+
+    assert fails["n"] == 2 and len(seen) == 2
+    for got, want in zip(_counts(model), _counts(oracle)):
+        np.testing.assert_array_equal(got, want)
+    np.testing.assert_allclose(np.asarray(model.ph_hat),
+                               np.asarray(oracle.ph_hat), rtol=1e-6)
+
+
+def test_elastic_exhausts_restarts(tmp_path):
+    def bad_run(self, *a, **kw):
+        raise RuntimeError("always down")
+
+    ElasticGibbs.run, orig = bad_run, ElasticGibbs.run
+    try:
+        with pytest.raises(RuntimeError, match="always down"):
+            elastic_train(_make_model, total_iters=4, thinning=2,
+                          checkpoint=str(tmp_path / "x"), save_every=2,
+                          max_restarts=2)
+    finally:
+        ElasticGibbs.run = orig
