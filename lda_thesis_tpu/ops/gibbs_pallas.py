@@ -96,8 +96,23 @@ def _build(D: int, K: int, alpha: float, beta: float):
 
 
 def pallas_supported() -> bool:
-    """Pallas fused path is used on accelerator backends unless disabled."""
+    """Whether the sweeps should take the fused-Pallas branch.
+
+    **Opt-in** (``LDA_PALLAS=1``) rather than default: on the available
+    v5e chip every ``pallas_call`` whose operands exceed trivial size pays
+    a flat ~0.8 ms staging cost per invocation — crossing the XLA→Mosaic
+    boundary re-materialises VMEM-resident scan state through HBM — so the
+    pure-XLA fast-layout sweep is measurably faster end-to-end (6.74M vs
+    6.27M tokens/s/chip; benchmarks/probe_bw.py isolates the boundary
+    cost, probe_kernel_variants.py shows the kernel itself is
+    traffic-bound, not compute-bound).  The kernel stays bitwise-equal to
+    the XLA path (tests/test_pallas_parity.py, accelerator-only), so
+    flipping the flag is safe where the boundary is cheap.
+    ``LDA_NO_PALLAS`` still forces it off (overrides ``LDA_PALLAS``).
+    """
     if os.environ.get("LDA_NO_PALLAS"):
+        return False
+    if not os.environ.get("LDA_PALLAS"):
         return False
     return jax.default_backend() not in ("cpu",)
 
