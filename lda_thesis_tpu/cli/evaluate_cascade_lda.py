@@ -41,6 +41,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> None:
+    from ..utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     opt = build_parser().parse_args(argv)
     if opt.thinning == 0:
         opt.thinning = opt.it

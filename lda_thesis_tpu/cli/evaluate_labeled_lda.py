@@ -142,6 +142,9 @@ def _train_gibbs(cfg: RunConfig, opt, train):
 
 
 def main(argv=None) -> None:
+    from ..utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     opt = build_parser().parse_args(argv)
     cfg = make_config(opt)  # applies the thinning == 0 -> iters rule
     g = cfg.gibbs

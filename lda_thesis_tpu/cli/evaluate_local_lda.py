@@ -39,6 +39,9 @@ def _read_texts(filename: str):
 
 
 def main(argv=None) -> None:
+    from ..utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     opt = build_parser().parse_args(argv)
     if opt.thinning == 0:
         opt.thinning = opt.it

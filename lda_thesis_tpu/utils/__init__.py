@@ -6,11 +6,13 @@ path, configuration is optparse flags, observability is ``print``.  This
 package supplies the framework-grade equivalents.
 """
 
+from .cache import enable_persistent_cache
 from .checkpoint import load_checkpoint, restore_model, save_checkpoint, save_model
 from .config import GibbsConfig, RunConfig
 from .tracing import Progress, annotate, trace
 
 __all__ = [
+    "enable_persistent_cache",
     "save_checkpoint",
     "load_checkpoint",
     "save_model",
