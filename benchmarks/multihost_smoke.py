@@ -1,0 +1,145 @@
+"""Multi-process ``jax.distributed`` smoke: the real sharded L-LDA step
+executed across processes (new design surface — the reference has no
+distributed layer, SURVEY.md C24; north star requires a multi-host path).
+
+Each process owns a slice of the global device set; the ``(chains, data)``
+mesh spans *all* processes (chains across the process/DCN boundary, data
+within — parallel/bootstrap.make_global_mesh), and the AD-LDA training step
+(local Gibbs sweeps + cross-shard ``psum`` count merges) runs as one SPMD
+program over the global mesh.  Validates the count invariant (Σ n_vk == Σ f
+per chain) and pools φ̂ across processes.
+
+Single-host demonstration on CPU (what tests/test_multihost.py runs):
+
+    for i in 0 1; do
+      JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=4 \
+      JAX_CPU_COLLECTIVES_IMPLEMENTATION=gloo \
+      python benchmarks/multihost_smoke.py --process-id $i --num-processes 2 &
+    done; wait
+
+On a real TPU pod slice, run one process per host with no flags at all —
+``initialize_distributed()`` autodetects the pod topology.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--process-id", type=int, default=None)
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--port", type=int, default=12421)
+    p.add_argument("--steps", type=int, default=3)
+    args = p.parse_args(argv)
+
+    import jax
+
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # some environments ship a plugin that re-appends its own platform
+        # at import time, overriding the env var — pin it back (same rule
+        # as tests/conftest.py)
+        jax.config.update("jax_platforms", "cpu")
+
+    from lda_thesis_tpu.parallel import bootstrap
+
+    coord = f"localhost:{args.port}" if args.num_processes else None
+    bootstrap.initialize_distributed(
+        coordinator_address=coord,
+        num_processes=args.num_processes,
+        process_id=args.process_id,
+    )
+    pid, nproc = jax.process_index(), jax.process_count()
+    mesh = bootstrap.make_global_mesh(n_chains=max(nproc, 1))
+    print(
+        f"[p{pid}] processes={nproc} global_devices={jax.device_count()} "
+        f"local={jax.local_device_count()} mesh={dict(mesh.shape)}",
+        flush=True,
+    )
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lda_thesis_tpu.parallel import (
+        make_sharded_train_step,
+        pooled_phi,
+        shard_corpus,
+    )
+    from lda_thesis_tpu.parallel.sharded import init_sharded_state
+
+    rng = np.random.default_rng(0)  # identical corpus on every process
+    D, U, V, K = 8 * jax.device_count(), 8, 64, 8
+    tok_v = rng.integers(0, V, size=(D, U)).astype(np.int32)
+    tok_f = rng.integers(1, 4, size=(D, U)).astype(np.int32)
+    tok_f[:, U - 2 :] = 0  # padding slots
+    labs = (rng.random((D, K)) < 0.4).astype(np.float32)
+    labs[:, 0] = 1.0
+    expected = int(tok_f.sum())
+
+    tok_v, tok_f, labs = shard_corpus(mesh, tok_v, tok_f, labs)
+    n_chains = 2 * mesh.shape["chains"]
+    key = jax.random.PRNGKey(0)
+    state = init_sharded_state(key, mesh, tok_v, tok_f, labs, V, n_chains=n_chains)
+    step = make_sharded_train_step(mesh, n_chains, alpha=0.1, beta=0.01)
+    for i in range(args.steps):
+        state = step(jax.random.fold_in(key, i), state, tok_v, tok_f, labs,
+                     save=jnp.bool_(i == args.steps - 1))
+    jax.block_until_ready(state)
+
+    # per-chain count invariant, checked on this process's addressable shard
+    # (the shard holds this mesh row's chains: (C/mesh_chains, V, K))
+    local_nvk = np.asarray(jax.device_get(state.n_vk.addressable_shards[0].data))
+    per_chain = local_nvk.sum(axis=(1, 2)).astype(int)
+    assert (per_chain == expected).all(), (per_chain, expected)
+    total = int(per_chain[0])
+
+    ph = np.asarray(pooled_phi(state))  # cross-process collective + gather
+    assert ph.shape == (V, K)
+    np.testing.assert_allclose(ph.sum(axis=0), 1.0, rtol=1e-4)
+    print(f"[p{pid}] tokens={total} pooled_phi ok", flush=True)
+
+    # ---- north-star config #5: 64 HSLDA chains sharded over >=2 hosts —
+    # one full blocked-Gibbs cycle (z-sweep psum merge, psum'd Gram matrices
+    # for eta, doc-parallel a/m, chain-keyed beta) across the process boundary
+    from lda_thesis_tpu.data.encode import encode_instances
+    from lda_thesis_tpu.ops.sampling import stirling_table
+    from lda_thesis_tpu.parallel import chains_for
+    from lda_thesis_tpu.parallel.hslda_sharded import (
+        init_hslda_sharded,
+        make_hslda_train_step,
+        shard_hslda_corpus,
+    )
+
+    mesh_chains, per_shard = chains_for(64, mesh)
+    rng = np.random.default_rng(1)
+    Dh, Vh, Kh, Lh = 4 * jax.device_count(), 64, 6, 5
+    docs = [rng.integers(0, Vh, size=rng.integers(3, 8)).tolist() for _ in range(Dh)]
+    ti, mk = encode_instances(docs)
+    lb = np.zeros((Dh, Lh), np.float32)
+    lb[:, 0] = 1
+    for d in range(Dh):
+        lb[d, rng.integers(1, Lh)] = 1
+    ti, mk, lb = shard_hslda_corpus(mesh, ti, mk, lb)
+    hstate = init_hslda_sharded(
+        jax.random.PRNGKey(1), mesh, ti, mk, lb, Vh, Kh, n_chains=64
+    )
+    logs = np.log(np.where(stirling_table(16) > 0, stirling_table(16), 1e-300))
+    hstep = make_hslda_train_step(
+        mesh, 64, jnp.asarray(logs, jnp.float32), D_total=int(ti.shape[0])
+    )
+    hstate = hstep(jax.random.PRNGKey(2), hstate, ti, mk, lb)
+    jax.block_until_ready(hstate)
+    print(
+        f"[p{pid}] hslda 64-chain cycle ok "
+        f"({mesh_chains} mesh rows x {per_shard} chains/shard) MULTIHOST-OK",
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()
