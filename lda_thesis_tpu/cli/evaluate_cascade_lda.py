@@ -37,6 +37,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="root-level Gibbs iterations (default: same as -i)")
     p.add_argument("--root-s", type=int, default=None,
                    help="root-level thinning (default: same as -s)")
+    p.add_argument("--test-it", type=int, default=None,
+                   help="fold-in test iterations (default: same as -i)")
+    p.add_argument("--test-s", type=int, default=None,
+                   help="fold-in test thinning (default: same as -s)")
     return p
 
 
@@ -69,8 +73,10 @@ def main(argv=None) -> None:
                        root_it=opt.root_it, root_s=opt.root_s)
 
     print("Testing test data...")
+    test_it = opt.test_it if opt.test_it is not None else opt.it
+    test_s = opt.test_s if opt.test_s is not None else opt.thinning
     l1, l2, l3 = model.test_down_tree_batch(
-        test.docs, it=opt.it, thinning=opt.thinning, threshold=opt.threshold
+        test.docs, it=test_it, thinning=test_s, threshold=opt.threshold
     )
 
     if opt.pickle:
