@@ -1,0 +1,63 @@
+"""End-to-end CLI smokes on a tiny synthetic JEL corpus.
+
+Drives the product ``main()`` functions (not internals): full pipeline =
+load → preprocess → prune → train → fold-in test → metrics print.  Guards
+flag plumbing (seed, test budgets) and the metric-block output format that
+mirrors the reference drivers (evaluate_LabeledLDA.py:150-179).
+"""
+
+import csv
+import re
+
+import numpy as np
+import pytest
+
+WORDS = [
+    "market", "price", "trade", "labor", "wage", "firm", "growth", "policy",
+    "capital", "risk", "credit", "tax", "welfare", "export", "demand",
+    "supply", "inflation", "banking", "investment", "productivity",
+]
+
+
+@pytest.fixture(scope="module")
+def corpus_csv(tmp_path_factory):
+    rng = np.random.default_rng(0)
+    path = tmp_path_factory.mktemp("cli") / "tiny.csv"
+    labels = ["A11", "A12", "B21", "B22", "C31"]
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        for i in range(60):
+            lab = labels[i % len(labels)]
+            # bias vocabulary by label so the models have signal
+            base = (hash(lab) % 7) + 3
+            words = rng.choice(WORDS[base : base + 9], size=30)
+            text = " ".join(words.tolist())
+            second = labels[(i + 2) % len(labels)]
+            w.writerow([f"doi{i}", text, f"{lab} {second}"])
+    return str(path)
+
+
+def _capture(capsys):
+    out = capsys.readouterr().out
+    m = re.findall(r"AUC ROC:\s+([0-9.]+)", out)
+    return out, [float(x) for x in m]
+
+
+def test_labeled_lda_cli(corpus_csv, capsys):
+    from lda_thesis_tpu.cli.evaluate_labeled_lda import main
+
+    main(["-f", corpus_csv, "-d", "2", "-i", "2", "-s", "2", "--seed", "3"])
+    out, aucs = _capture(capsys)
+    assert "Model:" in out and len(aucs) == 1
+    assert 0.0 <= aucs[0] <= 1.0
+
+
+def test_cascade_cli_with_test_budget(corpus_csv, capsys):
+    from lda_thesis_tpu.cli.evaluate_cascade_lda import main
+
+    main(["-f", corpus_csv, "-d", "2", "-i", "2", "-s", "2", "--seed", "3",
+          "--root-it", "3", "--root-s", "3", "--test-it", "3", "--test-s", "3"])
+    out, aucs = _capture(capsys)
+    # one metric block per depth level
+    assert len(aucs) == 2
+    assert all(0.0 <= a <= 1.0 for a in aucs)
