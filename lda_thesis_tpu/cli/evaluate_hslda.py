@@ -37,6 +37,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--xi", type=float, default=0.0)
     p.add_argument("-p", dest="pickle", action="store_true")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--n-chains", type=int, default=1,
+                   help="parallel Gibbs chains (>1: sharded DistributedHSLDA, "
+                        "chain-averaged predictions)")
+    p.add_argument("--n-data", type=int, default=1,
+                   help="document shards per chain row (AD-LDA psum merges)")
     return p
 
 
@@ -58,11 +63,27 @@ def main(argv=None) -> None:
     train, test = split_data(corpus, shuffle=False)
 
     print("Starting training...")
-    model = HSLDA(
-        train.docs, train.labs, list(train.labelset), k=opt.K,
-        alpha_prime=opt.alpha_prime, alpha=opt.alpha, gamma=opt.gamma,
-        mu=opt.mu, sigma=opt.sigma, xi=opt.xi, seed=opt.seed,
-    )
+    hyper = dict(k=opt.K, alpha_prime=opt.alpha_prime, alpha=opt.alpha,
+                 gamma=opt.gamma, mu=opt.mu, sigma=opt.sigma, xi=opt.xi,
+                 seed=opt.seed)
+    if opt.n_chains > 1 or opt.n_data > 1:
+        import jax
+
+        from ..parallel import DistributedHSLDA, make_mesh
+
+        n_dev = len(jax.devices())
+        if n_dev % opt.n_data:
+            raise SystemExit(f"--n-data {opt.n_data} does not divide "
+                             f"{n_dev} devices")
+        mesh_chains = n_dev // opt.n_data
+        while opt.n_chains % mesh_chains:
+            mesh_chains -= 1
+        mesh = make_mesh(n_data=opt.n_data, n_chains=mesh_chains,
+                         devices=jax.devices()[: mesh_chains * opt.n_data])
+        model = DistributedHSLDA(train.docs, train.labs, list(train.labelset),
+                                 mesh=mesh, n_chains=opt.n_chains, **hyper)
+    else:
+        model = HSLDA(train.docs, train.labs, list(train.labelset), **hyper)
     model.run_training(it=opt.it, thinning=opt.thinning, opt=opt.opt)
 
     print("Testing test data...")

@@ -17,6 +17,7 @@ from .bootstrap import (
     is_distributed,
     make_global_mesh,
 )
+from .hslda_trainer import DistributedHSLDA
 from .trainer import DistributedLabeledLDA
 from .sharded import (
     ShardedLDAState,
@@ -27,6 +28,7 @@ from .sharded import (
 )
 
 __all__ = [
+    "DistributedHSLDA",
     "DistributedLabeledLDA",
     "ShardedLDAState",
     "chains_for",

