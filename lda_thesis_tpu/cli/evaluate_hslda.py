@@ -90,8 +90,10 @@ def main(argv=None) -> None:
     scores = model.run_tests(test.docs, it=opt.test_it, s=opt.test_s)
 
     if opt.pickle:
-        pickle.dump(model, open("HSLDA_model.pkl", "wb"))
+        # scores first: they are the cheap artifact and must survive even if
+        # model pickling hits an unpicklable field
         pickle.dump(scores, open("HSLDA_scores.pkl", "wb"))
+        pickle.dump(model, open("HSLDA_model.pkl", "wb"))
 
     print("Model:               HSLDA (TPU)")
     print("Corpus:             ", opt.file)

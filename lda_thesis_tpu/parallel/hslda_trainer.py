@@ -70,6 +70,10 @@ class DistributedHSLDA(HSLDA):
 
     def run_training(self, it: int = 25, thinning: int = 5, opt: int = 1) -> None:
         """``it`` sharded blocked-Gibbs cycles over all chains at once."""
+        # fresh thinned average each call — matching base HSLDA.run_training,
+        # whose running mean (local s) restarts per call (models/hslda.py)
+        self._n_saves = 0
+        self._ph_hat = None
         if self.state is None:
             self._key, k = jax.random.split(self._key)
             self.state = init_hslda_sharded(
@@ -100,6 +104,60 @@ class DistributedHSLDA(HSLDA):
         """(C, K, V) per-chain unsmoothed topic-word estimates."""
         n_kv = np.asarray(self.state.n_vk).transpose(0, 2, 1).astype(np.float64)
         return n_kv / np.maximum(n_kv.sum(axis=2, keepdims=True), 1)
+
+    # ------------------------------------------------------------ diagnostics
+    #
+    # The inherited diagnostics read the single-chain state initialised by
+    # ``HSLDA.__init__`` which the sharded trainer never updates — they are
+    # overridden here to read the trained per-chain state.  Topics are NOT
+    # identifiable across chains (no label tying), so φ/z̄ diagnostics report
+    # chain 0; ``_chain_ph()`` gives all chains.
+
+    def get_ph(self) -> np.ndarray:
+        """(K, V) chain-0 unsmoothed topic-word estimate (see class note)."""
+        if self.state is None:
+            return super().get_ph()
+        return self._chain_ph()[0]
+
+    def get_zbar(self) -> np.ndarray:
+        """(D, K) chain-0 empirical topic mixtures over the real documents."""
+        if self.state is None:
+            return super().get_zbar()
+        n_dk = np.asarray(self.state.n_dk)[0][: self.D]
+        n_d = np.maximum(np.asarray(self.mask.sum(axis=1)), 1)
+        return n_dk / n_d[:, None]
+
+    # ------------------------------------------------------------ persistence
+    #
+    # A jax Mesh holds Device objects and the sharded arrays hold device
+    # buffers — neither pickles.  Snapshot everything as host numpy and the
+    # mesh as its axis sizes; restore rebuilds the mesh when the current
+    # process has enough devices (else ``mesh=None`` — predictions still
+    # work from the numpy state, further training requires re-attaching a
+    # mesh via ``make_mesh``).
+
+    def __getstate__(self):
+        d = dict(self.__dict__)
+        d["_mesh_shape"] = dict(self.mesh.shape) if self.mesh is not None else None
+        d["mesh"] = None
+        return jax.tree_util.tree_map(
+            lambda x: np.asarray(x) if isinstance(x, jax.Array) else x, d
+        )
+
+    def __setstate__(self, d):
+        mesh_shape = d.pop("_mesh_shape", None)
+        self.__dict__.update(d)
+        if mesh_shape is not None:
+            try:
+                need = mesh_shape.get("chains", 1) * mesh_shape.get("data", 1)
+                if len(jax.devices()) >= need:
+                    self.mesh = make_mesh(
+                        n_chains=mesh_shape.get("chains", 1),
+                        n_data=mesh_shape.get("data", 1),
+                        devices=jax.devices()[:need],
+                    )
+            except Exception:
+                self.mesh = None
 
     # ------------------------------------------------------------------- test
 
