@@ -43,7 +43,7 @@ def main() -> None:
     from lda_thesis_tpu.data.corpus import load_corpus, split_data
     from lda_thesis_tpu.data.vocab import prune_dict
     from lda_thesis_tpu.models.labeled_lda import LabeledLDA
-    from lda_thesis_tpu.ops.gibbs_pallas import pallas_supported
+    from lda_thesis_tpu.ops.gibbs_fused import fused_pallas_supported
 
     corpus = load_corpus(DATA, d=3, mode="truncate")
     train, _ = split_data(corpus, seed=42)
@@ -52,7 +52,12 @@ def main() -> None:
                        alpha=0.1, beta=0.01, seed=0)
 
     tokens_per_sweep = model.n_tokens
-    path = "pallas" if pallas_supported() else "xla"
+    if model.sweep == "fused":
+        # whole-sweep fused kernel (ops/gibbs_fused.py) — Pallas on TPU,
+        # bitwise-equal XLA twin elsewhere
+        path = "pallas" if fused_pallas_supported() else "xla"
+    else:
+        path = "xla"
 
     # warmup with the SAME static config so the timed runs hit the jit cache
     n_sweeps = 20

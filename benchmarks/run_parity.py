@@ -59,7 +59,8 @@ def run_llda(depth: int, it: int, s: int, seed: int) -> None:
     m = evaluate_ranking(th[nonzero], y_bin[nonzero])
     record({
         "model": "llda", "depth": depth, "it": it, "thinning": s,
-        "seed": seed, "auc": round(m["auc_roc"], 4),
+        "seed": seed, "sweep": model.sweep,
+        "auc": round(m["auc_roc"], 4),
         "one_hit": round(m["one_hit"], 4), "two_hit": round(m["two_hit"], 4),
         "f1": round(m["f1_macro"], 4),
         "train_s": round(t_train, 1), "wall_s": round(t_all, 1),

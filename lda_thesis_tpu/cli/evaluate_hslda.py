@@ -37,6 +37,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--xi", type=float, default=0.0)
     p.add_argument("-p", dest="pickle", action="store_true")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--checkpoint", default=None, metavar="PATH",
+                   help="checkpoint path prefix (writes PATH.npz + PATH.json)")
+    p.add_argument("--save-every", type=int, default=0, metavar="N",
+                   help="checkpoint every N training cycles "
+                        "(must be a multiple of -s; default: only at the end)")
+    p.add_argument("--resume", action="store_true",
+                   help="resume training from --checkpoint if it exists")
     p.add_argument("--n-chains", type=int, default=1,
                    help="parallel Gibbs chains (>1: sharded DistributedHSLDA, "
                         "chain-averaged predictions)")
@@ -84,7 +91,27 @@ def main(argv=None) -> None:
                                  mesh=mesh, n_chains=opt.n_chains, **hyper)
     else:
         model = HSLDA(train.docs, train.labs, list(train.labelset), **hyper)
-    model.run_training(it=opt.it, thinning=opt.thinning, opt=opt.opt)
+
+    import os
+
+    from ..utils.checkpoint import restore_model, save_model
+
+    save_every = opt.save_every or opt.it
+    if save_every % opt.thinning:
+        raise SystemExit("--save-every must be a multiple of -s (thinning)")
+    done = 0
+    if opt.resume and opt.checkpoint and os.path.exists(opt.checkpoint + ".npz"):
+        meta = restore_model(opt.checkpoint, model)
+        done = int(meta.get("iters_done", 0))
+        print(f"resumed from {opt.checkpoint} at cycle {done}")
+    while done < opt.it:
+        chunk = min(save_every, opt.it - done)
+        model.run_training(it=chunk, thinning=opt.thinning, opt=opt.opt,
+                           continue_avg=done > 0)
+        done += chunk
+        if opt.checkpoint:
+            save_model(opt.checkpoint, model, extra_meta={"iters_done": done})
+            print(f"checkpointed at cycle {done}/{opt.it}")
 
     print("Testing test data...")
     scores = model.run_tests(test.docs, it=opt.test_it, s=opt.test_s)

@@ -106,11 +106,26 @@ def _train_gibbs(cfg: RunConfig, opt, train):
             alpha=g.alpha, beta=g.beta, mesh=mesh, n_chains=cfg.n_chains,
             seed=g.seed,
         )
-        model.run_training(g.iters, g.thinning)
-        if opt.checkpoint:
-            from ..parallel.sharded_io import save_sharded
 
-            save_sharded(opt.checkpoint, model, iters_done=g.iters)
+        save_every = opt.save_every or g.iters
+        if save_every % g.thinning:
+            raise SystemExit("--save-every must be a multiple of -s (thinning)")
+        done = 0
+        if opt.resume and opt.checkpoint and os.path.exists(opt.checkpoint + ".npz"):
+            from ..parallel.sharded_io import restore_sharded
+
+            meta = restore_sharded(opt.checkpoint, model)
+            done = int(meta.get("iters_done", 0))
+            print(f"resumed from {opt.checkpoint} at iteration {done}")
+        while done < g.iters:
+            chunk = min(save_every, g.iters - done)
+            model.run_training(chunk, g.thinning)
+            done += chunk
+            if opt.checkpoint:
+                from ..parallel.sharded_io import save_sharded
+
+                save_sharded(opt.checkpoint, model, iters_done=done)
+                print(f"checkpointed at iteration {done}/{g.iters}")
         return model
 
     from ..models.labeled_lda import LabeledLDA

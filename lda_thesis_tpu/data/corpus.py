@@ -88,7 +88,10 @@ def load_corpus(
                     lab = [x[:d] for x in codes]
                 else:
                     lab = [p for x in codes for p in partition_label(x, d)]
-                lab = list(set(lab))
+                # order-preserving dedup: list(set(...)) would make label
+                # order (and thus the labelmap and every downstream RNG
+                # draw) depend on the per-process PYTHONHASHSEED
+                lab = list(dict.fromkeys(lab))
             else:
                 if mode == "truncate":
                     lab = [lab_field[:d]]

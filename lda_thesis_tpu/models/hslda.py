@@ -255,9 +255,15 @@ class HSLDA:
         den = n_kv.sum(axis=1, keepdims=True)
         return n_kv / np.maximum(den, 1)
 
-    def run_training(self, it: int = 25, thinning: int = 5, opt: int = 1) -> None:
-        """Blocked-Gibbs cycles with thinned φ̂/z̄ averaging (HSLDA.py:312-333)."""
-        s = 0
+    def run_training(self, it: int = 25, thinning: int = 5, opt: int = 1,
+                     continue_avg: bool = False) -> None:
+        """Blocked-Gibbs cycles with thinned φ̂/z̄ averaging (HSLDA.py:312-333).
+
+        ``continue_avg=True`` carries the thinned means across calls (for
+        checkpointed / chunked training); the default restarts them each
+        call, as the reference's per-call local counter does.
+        """
+        s = int(getattr(self, "_avg_s", 0)) if (continue_avg and self.ph is not None) else 0
         for i in range(int(it)):
             self._key, k = jax.random.split(self._key)
             (self.counts, self.eta, self.a, self.beta, zbar, mean_a) = _train_cycle(
@@ -276,6 +282,7 @@ class HSLDA:
                     m = (s - 1) / s
                     self.ph = m * self.ph + (1 - m) * cur_ph
                     self.th = m * self.th + (1 - m) * cur_th
+        self._avg_s = s
 
     # ------------------------------------------------------------------- test
 

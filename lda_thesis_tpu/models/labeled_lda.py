@@ -44,6 +44,12 @@ from ..ops.gibbs import (
     train_sweep_buckets_compact,
     train_sweep_fast,
 )
+from ..ops.gibbs_fused import (
+    FusedBucketState,
+    fused_train_block_buckets,
+    init_fused_buckets,
+    theta_from_fused,
+)
 from .state import (
     phi_from_counts,
     running_average,
@@ -235,6 +241,104 @@ def _train_loop_compact(
     return state, ph_hat, th_hat, s, perps
 
 
+@partial(jax.jit, static_argnames=("iters", "thinning", "alpha", "beta",
+                                   "perplexity", "merge"))
+def _train_loop_fused(
+    key,
+    state: FusedBucketState,
+    toks_v,  # tuple of (D_g, U_g) doc-major (for perplexity)
+    toks_f,
+    toks_v_t,  # tuple of (U_g, D_g) position-major
+    toks_f_t,  # tuple of (U_g, D_g) float32
+    lab_ids_t,  # tuple of (D_g, A) int32
+    lab_valid_tt,  # tuple of (A, D_g) float32
+    topic_mask,
+    avg0,
+    iters: int,
+    thinning: int,
+    alpha: float,
+    beta: float,
+    perplexity: bool,
+    merge: int,
+):
+    """Fused-kernel variant of :func:`_train_loop` (ops/gibbs_fused.py).
+
+    Sweeps run in merge blocks of ``merge`` (a divisor of ``thinning``)
+    against a block-frozen topic-word table — one whole-block Pallas kernel
+    per bucket per block.  Thinned φ/θ saves happen at exact ``thinning``
+    multiples, always on freshly committed counts.
+    """
+    V, K = state.n_vk.shape
+    G = len(state.z)
+    n_save_blocks = iters // thinning
+    blocks_per_save = thinning // merge
+    rem = iters - n_save_blocks * thinning
+    n_rem_blocks = (rem + merge - 1) // merge
+    total_blocks = n_save_blocks * blocks_per_save + n_rem_blocks
+    keys = jax.random.split(key, max(total_blocks, 1))
+
+    def one_block(state, k):
+        return (
+            fused_train_block_buckets(
+                k, state, toks_v_t, toks_f_t, lab_ids_t, lab_valid_tt,
+                alpha, beta, merge,
+            ),
+            None,
+        )
+
+    def cur_estimates(state):
+        cur_ph = phi_from_counts(state.n_vk, state.n_k, beta, topic_mask)
+        cur_th = tuple(
+            theta_from_fused(ndk, li, lv.T, alpha, K)
+            for ndk, li, lv in zip(state.n_dk, lab_ids_t, lab_valid_tt)
+        )
+        return cur_ph, cur_th
+
+    def save_block(carry, block_keys):
+        state, ph_hat, th_hat, s = carry
+        state, _ = jax.lax.scan(one_block, state, block_keys)
+        cur_ph, cur_th = cur_estimates(state)
+        s = s + 1
+        ph_hat = running_average(ph_hat, cur_ph, s)
+        th_hat = tuple(
+            running_average(t, c, s) for t, c in zip(th_hat, cur_th)
+        )
+        if perplexity:
+            ll = jnp.float32(0.0)
+            n = jnp.float32(0.0)
+            for g, (tv, tf) in enumerate(zip(toks_v, toks_f)):
+                llg, ng = log_likelihood(cur_th[g], cur_ph, tv, tf)
+                ll = ll + llg
+                n = n + ng.astype(jnp.float32)
+            perp = jnp.exp(-ll / jnp.maximum(n, 1.0))
+        else:
+            perp = jnp.float32(0.0)
+        return (state, ph_hat, th_hat, s), perp
+
+    ph0, th0, s0 = avg0
+    carry0 = (state, ph0, th0, s0)
+    if n_save_blocks:
+        (state, ph_hat, th_hat, s), perps = jax.lax.scan(
+            save_block, carry0,
+            keys[: n_save_blocks * blocks_per_save].reshape(
+                n_save_blocks, blocks_per_save, 2),
+        )
+    else:
+        (state, ph_hat, th_hat, s), perps = carry0, jnp.zeros((0,), jnp.float32)
+    # trailing iters % thinning sweeps run unsaved (reference multiples-only
+    # rule, LabeledLDA.py:131-145); final partial block keeps merge | sweeps
+    off = n_save_blocks * blocks_per_save
+    left = rem
+    for j in range(n_rem_blocks):
+        m_j = min(merge, left)
+        state = fused_train_block_buckets(
+            keys[off + j], state, toks_v_t, toks_f_t, lab_ids_t,
+            lab_valid_tt, alpha, beta, m_j,
+        )
+        left -= m_j
+    return state, ph_hat, th_hat, s, perps
+
+
 @partial(jax.jit, static_argnames=("it", "thinning", "alpha"))
 def _test_loop(key, tok_v, tok_f, phi, topic_mask, it: int, thinning: int, alpha: float):
     """Fold-in inference for held-out docs (LabeledLDA.py:155-212), all docs in
@@ -327,6 +431,7 @@ class LabeledLDA:
         k_pad: int = 128,
         n_buckets: int = 1,
         sweep: str = "auto",
+        merge_every: int = 5,
     ):
         self.alpha = float(alpha)
         self.beta = float(beta)
@@ -356,24 +461,41 @@ class LabeledLDA:
         self.toks_f = tuple(jnp.asarray(x) for x in self.buckets.tok_f)
         self.n_tokens = int(sum(int(x.sum()) for x in self.buckets.tok_f))
 
-        # sweep kernel: "compact" works on each doc's admissible-label slots
-        # (A = max labels/doc) — the identical sampler with the zero lanes
-        # removed (ops/gibbs.CompactLDACounts, exact-equivalence tested).
-        # "auto" resolves to DENSE: measured A/B on a v5e chip
-        # (benchmarks/probe_ab_sweep.py) puts dense at 10.7-11.5 M tokens/s
-        # vs 1.6 M for compact — TPU scatter/gather of per-element indices
-        # serialises, while the dense path's row gathers and bf16 MXU cumsum
-        # stay vectorised.  Compact remains available for index-friendly
-        # backends.
+        # sweep kernel:
+        # * "fused" (default) — whole-sweep Pallas kernel over the compact
+        #   label support with merge-block (AD-LDA-on-the-time-axis) table
+        #   freezing, ops/gibbs_fused.py.  ~5x the dense path's throughput
+        #   on a v5e chip; quality re-validated at thesis scale (PARITY.md).
+        # * "dense" — exact per-position sampler, (D, K) lanes
+        #   (ops/gibbs.train_sweep; round-2 default, 6.9 M tokens/s).
+        # * "compact" — exact per-position sampler on (D, A) slots; slow on
+        #   TPU (element gathers serialise) but index-friendly elsewhere.
         lab_ids, lab_valid = compact_labels(lab_mask)
         self.A = lab_ids.shape[1]
         if sweep == "auto":
-            sweep = "dense"
+            sweep = "fused"
         self.sweep = sweep
+        self.merge_every = max(int(merge_every), 1)
 
         self._key = jax.random.PRNGKey(seed)
         self._key, k0 = jax.random.split(self._key)
-        if sweep == "compact":
+        if sweep == "fused":
+            self.lab_ids_t = tuple(
+                jnp.asarray(lab_ids[ix]) for ix in self.buckets.doc_idx
+            )
+            self.lab_valid_t = tuple(
+                jnp.asarray(lab_valid[ix]) for ix in self.buckets.doc_idx
+            )
+            self._lab_valid_tt = tuple(lv.T for lv in self.lab_valid_t)
+            self._toks_v_t = tuple(tv.T for tv in self.toks_v)
+            self._toks_f_t = tuple(
+                tf.T.astype(jnp.float32) for tf in self.toks_f
+            )
+            self.counts = init_fused_buckets(
+                k0, self.toks_v, self.toks_f, self.lab_ids_t, self.lab_valid_t,
+                self.V, self.Kp,
+            )
+        elif sweep == "compact":
             self.lab_ids_t = tuple(
                 jnp.asarray(lab_ids[ix]) for ix in self.buckets.doc_idx
             )
@@ -432,7 +554,33 @@ class LabeledLDA:
                 ),
                 jnp.int32(0),
             )
-        if self.sweep == "compact":
+        if self.sweep == "fused":
+            # merge block = largest divisor of thinning <= merge_every, so
+            # thinned saves always see freshly committed counts
+            merge = max(
+                (m for m in range(1, self.merge_every + 1)
+                 if int(thinning) % m == 0),
+                default=1,
+            )
+            self.counts, self.ph_hat, th_hat_t, s, perps = _train_loop_fused(
+                k,
+                self.counts,
+                self.toks_v,
+                self.toks_f,
+                self._toks_v_t,
+                self._toks_f_t,
+                self.lab_ids_t,
+                self._lab_valid_tt,
+                self.topic_mask,
+                avg0,
+                iters=int(iters),
+                thinning=int(thinning),
+                alpha=self.alpha,
+                beta=self.beta,
+                perplexity=perplexity,
+                merge=int(merge),
+            )
+        elif self.sweep == "compact":
             self.counts, self.ph_hat, th_hat_t, s, perps = _train_loop_compact(
                 k,
                 self.counts,
@@ -532,7 +680,14 @@ class LabeledLDA:
 
     def get_theta(self) -> np.ndarray:
         """(D, K) label-masked θ (LabeledLDA.py:236-239)."""
-        if self.sweep == "compact":
+        if self.sweep == "fused":
+            per_bucket = [
+                np.asarray(theta_from_fused(ndk, li, lv, self.alpha, self.Kp))
+                for ndk, li, lv in zip(
+                    self.counts.n_dk, self.lab_ids_t, self.lab_valid_t
+                )
+            ]
+        elif self.sweep == "compact":
             per_bucket = [
                 np.asarray(theta_from_compact(ndk, li, lv, self.alpha, self.Kp))
                 for ndk, li, lv in zip(
@@ -570,7 +725,12 @@ class LabeledLDA:
         ll = 0.0
         n = 0
         for g in range(self.buckets.n_buckets):
-            if self.sweep == "compact":
+            if self.sweep == "fused":
+                th = theta_from_fused(
+                    self.counts.n_dk[g], self.lab_ids_t[g], self.lab_valid_t[g],
+                    self.alpha, self.Kp,
+                )
+            elif self.sweep == "compact":
                 th = theta_from_compact(
                     self.counts.n_dk[g], self.lab_ids_t[g], self.lab_valid_t[g],
                     self.alpha, self.Kp,

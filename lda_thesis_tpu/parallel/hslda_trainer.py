@@ -68,12 +68,17 @@ class DistributedHSLDA(HSLDA):
 
     # ------------------------------------------------------------------ train
 
-    def run_training(self, it: int = 25, thinning: int = 5, opt: int = 1) -> None:
-        """``it`` sharded blocked-Gibbs cycles over all chains at once."""
-        # fresh thinned average each call — matching base HSLDA.run_training,
-        # whose running mean (local s) restarts per call (models/hslda.py)
-        self._n_saves = 0
-        self._ph_hat = None
+    def run_training(self, it: int = 25, thinning: int = 5, opt: int = 1,
+                     continue_avg: bool = False) -> None:
+        """``it`` sharded blocked-Gibbs cycles over all chains at once.
+
+        ``continue_avg=True`` carries the thinned φ̂ mean across calls (for
+        checkpointed / chunked training); the default restarts it each call,
+        matching base HSLDA.run_training's per-call running mean.
+        """
+        if not continue_avg:
+            self._n_saves = 0
+            self._ph_hat = None
         if self.state is None:
             self._key, k = jax.random.split(self._key)
             self.state = init_hslda_sharded(

@@ -16,7 +16,8 @@ import numpy as np
 
 from ..utils.checkpoint import load_checkpoint, save_checkpoint
 
-__all__ = ["save_sharded", "restore_sharded"]
+__all__ = ["save_sharded", "restore_sharded",
+           "save_hslda_sharded", "restore_hslda_sharded"]
 
 
 def save_sharded(path: str, model, iters_done: int = 0) -> None:
@@ -54,6 +55,7 @@ def restore_sharded(path: str, model) -> Dict[str, Any]:
     """
     import jax
     import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
     from .sharded import ShardedLDAState
 
@@ -69,18 +71,108 @@ def restore_sharded(path: str, model) -> Dict[str, Any]:
             f"model {np.asarray(model.state.z).shape}"
         )
 
-    def put(name, like):
-        return jax.device_put(jnp.asarray(arrays[name]), like.sharding)
+    # explicit mesh shardings (the freshly initialised model's ph_hat/th_hat
+    # are plain single-device zeros until the first step runs — their
+    # .sharding is NOT the mesh placement the training step expects)
+    def put(name, spec):
+        return jax.device_put(
+            jnp.asarray(arrays[name]), NamedSharding(model.mesh, spec)
+        )
 
-    st = model.state
     model.state = ShardedLDAState(
-        z=put("z", st.z),
-        n_dk=put("n_dk", st.n_dk),
-        n_vk=put("n_vk", st.n_vk),
-        n_k=put("n_k", st.n_k),
-        ph_hat=put("ph_hat", st.ph_hat),
-        th_hat=put("th_hat", st.th_hat),
-        s=jnp.asarray(arrays["s"]),
+        z=put("z", P("chains", "data", None)),
+        n_dk=put("n_dk", P("chains", "data", None)),
+        n_vk=put("n_vk", P("chains", None, None)),
+        n_k=put("n_k", P("chains", None)),
+        ph_hat=put("ph_hat", P("chains", None, None)),
+        th_hat=put("th_hat", P("chains", "data", None)),
+        s=put("s", P()),
     )
-    model._key = jnp.asarray(arrays["rng_key"])
+    # replicate the key over the mesh — a single-device key mixed with
+    # mesh-sharded state arrays fails jit's device-set check
+    model._key = jax.device_put(
+        jnp.asarray(arrays["rng_key"]), NamedSharding(model.mesh, P())
+    )
+    return meta
+
+
+def save_hslda_sharded(path: str, model, iters_done: int = 0) -> None:
+    """Snapshot a DistributedHSLDA (parallel/hslda_trainer.py).
+
+    Gathers the per-chain sharded blocked-Gibbs state (z, counts, η, a, β)
+    plus the host-side thinned φ̂ mean to the same atomic npz+json scheme.
+    ``model.state`` must exist (run_training at least once before saving).
+    """
+    st = model.state
+    if st is None:
+        raise ValueError("DistributedHSLDA has no state yet — train first")
+    arrays: Dict[str, Any] = {
+        "z": np.asarray(st.z),
+        "n_dk": np.asarray(st.n_dk),
+        "n_vk": np.asarray(st.n_vk),
+        "n_k": np.asarray(st.n_k),
+        "eta": np.asarray(st.eta),
+        "a": np.asarray(st.a),
+        "beta_vec": np.asarray(st.beta),
+        "rng_key": np.asarray(model._key),
+    }
+    if model._ph_hat is not None:
+        arrays["ph_hat"] = np.asarray(model._ph_hat)
+    meta = {
+        "kind": "DistributedHSLDA",
+        "n_chains": int(model.n_chains),
+        "K": int(model.K),
+        "L": int(model.L),
+        "V": int(model.V),
+        "D": int(model.D),
+        "n_saves": int(model._n_saves),
+        "iters_done": int(iters_done),
+    }
+    save_checkpoint(path, arrays, meta)
+
+
+def restore_hslda_sharded(path: str, model) -> Dict[str, Any]:
+    """Restore a DistributedHSLDA snapshot into a compatibly built trainer.
+
+    The trainer may be freshly constructed (state is created lazily on the
+    first run_training) — shardings are derived from the model's mesh, so a
+    snapshot can move across mesh shapes with the same chain count.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from .hslda_sharded import HSLDAShardedState, _specs
+
+    arrays, meta = load_checkpoint(path)
+    if meta["kind"] != "DistributedHSLDA":
+        raise ValueError(f"checkpoint is {meta['kind']}")
+    for name, got in (("n_chains", model.n_chains), ("K", model.K),
+                      ("L", model.L), ("V", model.V), ("D", model.D)):
+        if int(meta[name]) != int(got):
+            raise ValueError(f"{name} mismatch: checkpoint {meta[name]}, model {got}")
+
+    sp = _specs(model.mesh)
+
+    def put(name, spec):
+        return jax.device_put(
+            jnp.asarray(arrays[name]), NamedSharding(model.mesh, spec)
+        )
+
+    model.state = HSLDAShardedState(
+        z=put("z", sp["z"]),
+        n_dk=put("n_dk", sp["n_dk"]),
+        n_vk=put("n_vk", sp["n_vk"]),
+        n_k=put("n_k", sp["n_k"]),
+        eta=put("eta", sp["eta"]),
+        a=put("a", sp["a"]),
+        beta=put("beta_vec", sp["beta"]),
+    )
+    model._ph_hat = (
+        np.asarray(arrays["ph_hat"]) if "ph_hat" in arrays else None
+    )
+    model._n_saves = int(meta.get("n_saves", 0))
+    model._key = jax.device_put(
+        jnp.asarray(arrays["rng_key"]), NamedSharding(model.mesh, P())
+    )
     return meta

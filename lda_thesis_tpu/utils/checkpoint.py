@@ -73,6 +73,16 @@ def save_model(path: str, model, extra_meta: Dict[str, Any] = None) -> None:
     ``iters_done``) alongside the model state.
     """
     kind = _model_kind(model)
+    if kind == "DistributedLabeledLDA":
+        from ..parallel.sharded_io import save_sharded
+
+        return save_sharded(path, model,
+                            iters_done=(extra_meta or {}).get("iters_done", 0))
+    if kind == "DistributedHSLDA":
+        from ..parallel.sharded_io import save_hslda_sharded
+
+        return save_hslda_sharded(
+            path, model, iters_done=(extra_meta or {}).get("iters_done", 0))
     import jax.numpy as jnp  # noqa: F401
 
     arrays: Dict[str, Any] = {"rng_key": np.asarray(model._key)}
@@ -113,6 +123,7 @@ def save_model(path: str, model, extra_meta: Dict[str, Any] = None) -> None:
         meta.update(K=model.K, L=model.L, V=model.V, D=model.D,
                     alpha=model.alpha, aprime=model.aprime, gamma=model.gamma,
                     mu=model.mu, sigma=model.sigma, xi=model.xi,
+                    avg_s=int(getattr(model, "_avg_s", 0)),
                     labelmap=model.labelmap, token2id=model.w_to_v)
     else:
         raise TypeError(f"unknown model kind: {kind}")
@@ -130,8 +141,16 @@ def restore_model(path: str, model) -> Dict[str, Any]:
     """
     import jax.numpy as jnp
 
-    arrays, meta = load_checkpoint(path)
     kind = _model_kind(model)
+    if kind == "DistributedLabeledLDA":
+        from ..parallel.sharded_io import restore_sharded
+
+        return restore_sharded(path, model)
+    if kind == "DistributedHSLDA":
+        from ..parallel.sharded_io import restore_hslda_sharded
+
+        return restore_hslda_sharded(path, model)
+    arrays, meta = load_checkpoint(path)
     if meta["kind"] != kind:
         raise ValueError(f"checkpoint is {meta['kind']}, model is {kind}")
 
@@ -156,7 +175,12 @@ def restore_model(path: str, model) -> Dict[str, Any]:
                 f"sweep kernel mismatch: checkpoint {sweep!r}, model "
                 f"{model.sweep!r} (construct with sweep={sweep!r})"
             )
-        state_cls = CompactBucketState if sweep == "compact" else BucketLDAState
+        if sweep == "fused":
+            from ..ops.gibbs_fused import FusedBucketState as state_cls
+        elif sweep == "compact":
+            state_cls = CompactBucketState
+        else:
+            state_cls = BucketLDAState
         model.counts = state_cls(
             z=tuple(jnp.asarray(arrays[f"z_{g}"]) for g in range(G)),
             n_dk=tuple(jnp.asarray(arrays[f"n_dk_{g}"]) for g in range(G)),
@@ -190,5 +214,6 @@ def restore_model(path: str, model) -> Dict[str, Any]:
         if "ph" in arrays:
             model.ph = np.asarray(arrays["ph"])
             model.th = np.asarray(arrays["th"])
+        model._avg_s = int(meta.get("avg_s", 0))
     model._key = jnp.asarray(arrays["rng_key"])
     return meta
