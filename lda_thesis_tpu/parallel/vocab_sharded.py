@@ -1,0 +1,160 @@
+"""Vocab-axis sharding of the topic-word table (SURVEY.md §5 scaling axes).
+
+Every other distributed mode in this framework replicates the ``(V, K)``
+topic-word table per chain (parallel/sharded.py) — fine at abstracts scale,
+a ceiling for large V·K.  This module shards the table's **vocabulary axis
+across the ``data`` mesh axis**, so per-device persistent state is
+``V/S × K``: documents AND table rows are both sharded over the same axis.
+
+It builds on the fused merge-block sampler (ops/gibbs_fused.py), whose
+freeze-gather/commit structure is exactly what a sharded table needs:
+
+* block start — ``all_gather`` the table once (tiled over V), gather each
+  local shard's per-slot counts from the transient full view, then drop it;
+* ``M`` fused sweeps run purely shard-locally (one Pallas kernel per shard,
+  doc-topic state exact);
+* block end — per-shard count deltas are ``psum_scatter``'d back over the
+  vocabulary axis, each shard keeping only the slice it owns; ``n_k`` is a
+  small replicated ``psum``.
+
+Communication per merge block is one table broadcast + one reduce-scatter —
+amortised over ``M`` sweeps, riding ICI.  The transient full view bounds a
+*single* device's working set; persistent state (what checkpoints and grows
+with V·K) is sharded S-fold.  A fully streamed gather (slice-at-a-time
+broadcast) is the natural refinement if even the transient view must shrink.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.gibbs_fused import (
+    FusedLDAState,
+    fused_train_block,
+)
+
+__all__ = ["VocabShardedState", "shard_vocab_corpus", "init_vocab_sharded",
+           "make_vocab_sharded_block", "full_table"]
+
+
+class VocabShardedState(NamedTuple):
+    """Fused-layout state with the table's V axis sharded over ``data``.
+
+    ``z (U, D)`` / ``n_dk (A, D)`` — doc axis sharded over ``data``;
+    ``n_vk (V, K)`` — **vocab axis sharded** over ``data``;
+    ``n_k (K,)`` — replicated.
+    """
+
+    z: jax.Array
+    n_dk: jax.Array
+    n_vk: jax.Array
+    n_k: jax.Array
+
+
+def _pad_to(x: np.ndarray, target: int, axis: int = 0) -> np.ndarray:
+    if x.shape[axis] == target:
+        return x
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, target - x.shape[axis])
+    return np.pad(x, pad)
+
+
+def shard_vocab_corpus(mesh: Mesh, tok_v_t, tok_f_t, lab_ids, lab_valid_t):
+    """Pad the doc axis to the data-mesh size; device_put doc-sharded."""
+    S = mesh.shape["data"]
+    tok_v_t = np.asarray(tok_v_t)
+    D = tok_v_t.shape[1]
+    Dp = ((D + S - 1) // S) * S
+    doc_last = NamedSharding(mesh, P(None, "data"))
+    return (
+        jax.device_put(_pad_to(tok_v_t, Dp, 1), doc_last),
+        jax.device_put(_pad_to(np.asarray(tok_f_t), Dp, 1), doc_last),
+        jax.device_put(_pad_to(np.asarray(lab_ids), Dp, 0),
+                       NamedSharding(mesh, P("data", None))),
+        jax.device_put(_pad_to(np.asarray(lab_valid_t), Dp, 1), doc_last),
+    )
+
+
+def init_vocab_sharded(
+    key, mesh: Mesh, tok_v, tok_f, lab_ids_np, lab_valid_np, V: int, K: int
+) -> VocabShardedState:
+    """Host init (tiny corpora: init once, then shard the state arrays)."""
+    from ..ops.gibbs_fused import init_fused
+
+    S = mesh.shape["data"]
+    Vp = ((V + S - 1) // S) * S
+    st = init_fused(key, jnp.asarray(tok_v), jnp.asarray(tok_f),
+                    jnp.asarray(lab_ids_np), jnp.asarray(lab_valid_np), V, K)
+    D = tok_v.shape[0]
+    Dp = ((D + S - 1) // S) * S
+    return VocabShardedState(
+        z=jax.device_put(_pad_to(np.asarray(st.z), Dp, 1),
+                         NamedSharding(mesh, P(None, "data"))),
+        n_dk=jax.device_put(_pad_to(np.asarray(st.n_dk), Dp, 1),
+                            NamedSharding(mesh, P(None, "data"))),
+        n_vk=jax.device_put(_pad_to(np.asarray(st.n_vk), Vp, 0),
+                            NamedSharding(mesh, P("data", None))),
+        n_k=jax.device_put(np.asarray(st.n_k), NamedSharding(mesh, P())),
+    )
+
+
+def make_vocab_sharded_block(mesh: Mesh, alpha: float, beta: float, M: int):
+    """Jitted merge block: all_gather table → M local fused sweeps →
+    psum_scatter the vocab-axis deltas back to their owner shards."""
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(
+            P(),  # key
+            P(None, "data"),  # z (U, D)
+            P(None, "data"),  # n_dk (A, D)
+            P("data", None),  # n_vk (V, K) — vocab-sharded
+            P(),  # n_k
+            P(None, "data"),  # tok_v_t
+            P(None, "data"),  # tok_f_t
+            P("data", None),  # lab_ids (D, A)
+            P(None, "data"),  # lab_valid_t (A, D)
+        ),
+        out_specs=(P(None, "data"), P(None, "data"), P("data", None), P()),
+        check_vma=False,
+    )
+    def _block(key, z, n_dk, n_vk_local, n_k, tok_v_t, tok_f_t, lab_ids,
+               lab_valid_t):
+        di = jax.lax.axis_index("data")
+        k_local = jax.random.fold_in(key, di)
+
+        # block start: transient full table view (persistent state stays V/S)
+        n_vk_full = jax.lax.all_gather(n_vk_local, "data", axis=0, tiled=True)
+
+        st = FusedLDAState(z=z, n_dk=n_dk, n_vk=n_vk_full, n_k=n_k)
+        st = fused_train_block(
+            k_local, st, tok_v_t, tok_f_t, lab_ids, lab_valid_t,
+            alpha, beta, M,
+        )
+        # block end: route each shard's deltas to the rows' owner shards
+        delta = st.n_vk - n_vk_full  # (V, K) local deltas, sparse in rows
+        n_vk_local = n_vk_local + jax.lax.psum_scatter(
+            delta, "data", scatter_dimension=0, tiled=True
+        )
+        n_k = n_k + jax.lax.psum(delta.sum(axis=0), "data")
+        return st.z, st.n_dk, n_vk_local, n_k
+
+    def block(key, state: VocabShardedState, tok_v_t, tok_f_t, lab_ids,
+              lab_valid_t) -> VocabShardedState:
+        return VocabShardedState(
+            *_block(key, *state, tok_v_t, tok_f_t, lab_ids, lab_valid_t)
+        )
+
+    return jax.jit(block)
+
+
+def full_table(state: VocabShardedState) -> jax.Array:
+    """(V, K) gathered table (for estimators / saves)."""
+    return jnp.asarray(state.n_vk)
