@@ -36,6 +36,8 @@ def install_gensim_shim() -> None:
     parsing = types.ModuleType("gensim.parsing")
     preprocessing = types.ModuleType("gensim.parsing.preprocessing")
     preprocessing.preprocess_documents = preprocess_documents
+    from lda_thesis_tpu.data.stopwords import STOPWORDS as _SW
+    preprocessing.STOPWORDS = frozenset(_SW)
     corpora = types.ModuleType("gensim.corpora")
     dictionary = types.ModuleType("gensim.corpora.dictionary")
     dictionary.Dictionary = Dictionary

@@ -67,6 +67,38 @@ def run_llda(depth: int, it: int, s: int, seed: int) -> None:
     })
 
 
+def run_llda_vi(depth: int, it: int, seed: int, test_iters: int = 100) -> None:
+    """CAVI engine at thesis scale (round-3 VERDICT item 2)."""
+    from lda_thesis_tpu.data.corpus import load_corpus, split_data
+    from lda_thesis_tpu.data.vocab import prune_dict
+    from lda_thesis_tpu.eval.metrics import binary_yreal, evaluate_ranking
+    from lda_thesis_tpu.models.labeled_lda_vi import LabeledLDAVI
+
+    t0 = time.time()
+    corpus = load_corpus(DATA, d=depth, mode="truncate")
+    train, test = split_data(corpus, seed=seed)
+    dicti = prune_dict(train.docs, lower=0, upper=1)
+    model = LabeledLDAVI(train.docs, train.labs, list(train.labelset), dicti,
+                         alpha=0.1, beta=0.01, seed=seed)
+    model.fit(iters=it)
+    t_train = time.time() - t0
+    th = model.infer(test.docs, iters=test_iters)
+    t_all = time.time() - t0
+
+    y_bin = binary_yreal(test.labs, model.labelmap)[:, 1:]
+    th = np.asarray(th)[:, 1:]
+    nonzero = np.where(th.sum(axis=1) != 0)[0]
+    m = evaluate_ranking(th[nonzero], y_bin[nonzero])
+    record({
+        "model": "llda-vi", "depth": depth, "it": it, "seed": seed,
+        "test_it": test_iters,
+        "auc": round(m["auc_roc"], 4),
+        "one_hit": round(m["one_hit"], 4), "two_hit": round(m["two_hit"], 4),
+        "f1": round(m["f1_macro"], 4),
+        "train_s": round(t_train, 1), "wall_s": round(t_all, 1),
+    })
+
+
 def run_cascade(it: int, s: int, seed: int, sweep: str = "dense",
                 threshold: float = 0.95, root_it=None, root_s=None,
                 test_it=None, test_s=None) -> None:
@@ -112,7 +144,8 @@ def run_cascade(it: int, s: int, seed: int, sweep: str = "dense",
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--model", choices=("llda", "cascade"), required=True)
+    ap.add_argument("--model", choices=("llda", "llda-vi", "cascade"),
+                    required=True)
     ap.add_argument("--depth", type=int, default=3)
     ap.add_argument("--it", type=int, required=True)
     ap.add_argument("--s", type=int, required=True)
@@ -125,6 +158,9 @@ def main() -> None:
     args = ap.parse_args()
     if args.model == "llda":
         run_llda(args.depth, args.it, args.s, args.seed)
+    elif args.model == "llda-vi":
+        run_llda_vi(args.depth, args.it, args.seed,
+                    test_iters=args.test_it or 100)
     else:
         run_cascade(args.it, args.s, args.seed, sweep=args.sweep,
                     root_it=args.root_it, root_s=args.root_s,

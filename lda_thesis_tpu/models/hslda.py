@@ -49,7 +49,7 @@ def _norm_cdf(x):
 @partial(jax.jit, static_argnames=("opt", "gamma", "xi"))
 def _train_cycle(key, counts, tok_v, mask, labs, eta, a, beta,
                  stirling_logs, mu, sigma, aprime, alpha, gamma: float, xi: float,
-                 opt: int):
+                 opt: int, lab_pos_ids=None, lab_pos_valid=None):
     """One full blocked-Gibbs cycle z → η → a → m → β (HSLDA.py:312-317)."""
     D, L = labs.shape
     K = counts.n_dk.shape[1]
@@ -59,6 +59,7 @@ def _train_cycle(key, counts, tok_v, mask, labs, eta, a, beta,
     counts, _ = hslda_z_sweep(
         k_z, counts, tok_v, mask, labs, eta, a,
         alpha_beta=alpha * beta, gamma=gamma, xi=xi, opt=opt,
+        lab_pos_ids=lab_pos_ids, lab_pos_valid=lab_pos_valid,
     )
     n_d = jnp.maximum(mask.sum(axis=1), 1).astype(jnp.float32)
     zbar = counts.n_dk.astype(jnp.float32) / n_d[:, None]  # (D, K)
@@ -200,7 +201,14 @@ class HSLDA:
         tok_v, mask = encode_instances(docs_ids)
         self.tok_v = jnp.asarray(tok_v)
         self.mask = jnp.asarray(mask)
-        self.labs = jnp.asarray(binarize_labels(labs, self.labelmap))
+        lab_mask_np = binarize_labels(labs, self.labelmap)
+        self.labs = jnp.asarray(lab_mask_np)
+        # compact positive-label layout for the opt=2 sparse Φ coupling
+        from ..data.encode import compact_labels as _compact
+
+        _ids, _valid = _compact(np.asarray(lab_mask_np))
+        self._lab_pos_ids = jnp.asarray(_ids)
+        self._lab_pos_valid = jnp.asarray(_valid)
 
         # label-tree parent map (HSLDA.py:139-142)
         self.child_to_parent = {
@@ -271,6 +279,8 @@ class HSLDA:
                 self.eta, self.a, self.beta, self._stirling_logs,
                 self.mu, self.sigma, self.aprime, self.alpha,
                 gamma=self.gamma, xi=self.xi, opt=int(opt),
+                lab_pos_ids=self._lab_pos_ids,
+                lab_pos_valid=self._lab_pos_valid,
             )
             if (i + 1) % thinning == 0:
                 s += 1

@@ -556,10 +556,14 @@ class LabeledLDA:
             )
         if self.sweep == "fused":
             # merge block = largest divisor of thinning <= merge_every, so
-            # thinned saves always see freshly committed counts
+            # thinned saves always see freshly committed counts.  Tiny
+            # budgets additionally cap the block at iters/8: freezing the
+            # table for half of a 4-sweep run costs real AUC (measured
+            # ~-0.03 at the reference's (4; 4) config), while at thesis
+            # scale (2000 sweeps) merge=5 is quality-neutral (PARITY.md).
+            cap = min(self.merge_every, max(1, int(iters) // 8))
             merge = max(
-                (m for m in range(1, self.merge_every + 1)
-                 if int(thinning) % m == 0),
+                (m for m in range(1, cap + 1) if int(thinning) % m == 0),
                 default=1,
             )
             self.counts, self.ph_hat, th_hat_t, s, perps = _train_loop_fused(

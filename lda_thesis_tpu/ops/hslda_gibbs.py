@@ -101,12 +101,22 @@ def hslda_z_sweep(
     gamma: float,
     xi: float,
     opt: int = 1,
+    lab_pos_ids: jax.Array | None = None,  # (D, A) positive-label ids
+    lab_pos_valid: jax.Array | None = None,  # (D, A) 1/0
 ) -> Tuple[HSLDACounts, jax.Array]:
     """One full z-sweep; returns (new counts, mean_a = z̄ @ ηᵀ).
 
     ``opt`` selects the coupling variant (reference HSLDA.py:240-261):
     1 — Gaussian kernel on positive labels, 2 — Φ(m−ξ) on positive labels,
     3 — Φ(±(m−ξ)) on all labels.
+
+    For opt=2 the coupling sums over *positive* labels only (~4–24 of the
+    ~450 at real-corpus scale); when the caller passes the compact
+    ``lab_pos_ids``/``lab_pos_valid`` layout, the per-position Φ transient
+    shrinks from (D, L, K) label blocks to (D, A, K) — the same sum, ~L/A×
+    less transcendental work (this was the round-2 opt-cost gap,
+    PARITY.md).  opt=3 genuinely couples every label (negative labels enter
+    through Φ(−m)) and keeps the blockwise evaluation.
     """
     D, N = tok_v.shape
     K = counts.n_dk.shape[1]
@@ -117,8 +127,13 @@ def hslda_z_sweep(
     inv_nd = (1.0 / n_d)[:, None]
     vgamma = jnp.float32(V) * gamma
     # hoisted coupling terms
+    sparse2 = opt == 2 and lab_pos_ids is not None
     if opt == 1:
         T2 = (labs @ (eta * eta)) * (0.5 * inv_nd * inv_nd)  # (D, K)
+    elif sparse2:
+        # per-doc positive-label η rows, hoisted out of the scan
+        eta_pos = eta[lab_pos_ids]  # (D, A, K)
+        pos_valid = lab_pos_valid[:, :, None]  # (D, A, 1)
     else:
         # pad the label axis to the block width; padded slots have η = 0,
         # labs = 0 and only shift log p2 by a per-document constant
@@ -157,6 +172,14 @@ def hslda_z_sweep(
             C = (M - a) * labs  # (D, L), zero on negative labels
             T1 = (C @ eta) * inv_nd  # (D, K) — MXU matmul
             logp2 = -(T1 + T2)
+        elif sparse2:
+            M_pos = jnp.take_along_axis(M, lab_pos_ids, axis=1)  # (D, A)
+            mk = (
+                M_pos[:, :, None]
+                + eta_pos * inv_nd[:, :, None]
+                - xi
+            )  # (D, A, K)
+            logp2 = jnp.sum(pos_valid * _log_ndtr(mk), axis=1)
         else:
             # candidate means m_k[d, l] = M[d, l] + η_lk / n_d, minus ξ —
             # evaluated in L_BLOCK-wide label chunks (unrolled) to bound

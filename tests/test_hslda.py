@@ -67,6 +67,30 @@ def test_z_sweep_preserves_counts(opt):
     )
 
 
+def test_opt2_sparse_coupling_matches_blockwise():
+    """The compact positive-label Φ coupling (lab_pos_ids path) computes the
+    same logp2 sum as the label-blockwise evaluation — draws from the same
+    key agree except on float-order ties (none expected at toy scale)."""
+    docs, labs, labelset = _toy()
+    m = HSLDA(docs, labs, labelset, k=5, seed=1)
+    kwargs = dict(alpha_beta=m.alpha * m.beta, gamma=m.gamma, xi=m.xi, opt=2)
+    c_block, M_block = hslda_z_sweep(
+        jax.random.PRNGKey(0), m.counts, m.tok_v, m.mask, m.labs,
+        m.eta, m.a, **kwargs,
+    )
+    c_sparse, M_sparse = hslda_z_sweep(
+        jax.random.PRNGKey(0), m.counts, m.tok_v, m.mask, m.labs,
+        m.eta, m.a, lab_pos_ids=m._lab_pos_ids,
+        lab_pos_valid=m._lab_pos_valid, **kwargs,
+    )
+    agree = np.mean(np.asarray(c_block.z) == np.asarray(c_sparse.z))
+    assert agree > 0.98, agree
+    total = int(np.asarray(m.mask).sum())
+    assert int(np.asarray(c_sparse.n_vk).sum()) == total
+    np.testing.assert_allclose(np.asarray(M_sparse), np.asarray(M_block),
+                               atol=1e-3)
+
+
 def test_opt1_log_decomposition_identity():
     """The kernel's matmul form of log p2 must equal the reference's direct
     product form (HSLDA.py:254-257) up to a k-independent constant."""
