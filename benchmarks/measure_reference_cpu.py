@@ -38,12 +38,15 @@ def install_gensim_shim() -> None:
     preprocessing.preprocess_documents = preprocess_documents
     from lda_thesis_tpu.data.stopwords import STOPWORDS as _SW
     preprocessing.STOPWORDS = frozenset(_SW)
+    from lda_thesis_tpu.data.porter import PorterStemmer as _PS
+    parsing_attr = _PS
     corpora = types.ModuleType("gensim.corpora")
     dictionary = types.ModuleType("gensim.corpora.dictionary")
     dictionary.Dictionary = Dictionary
     gensim.parsing = parsing
     gensim.corpora = corpora
     parsing.preprocessing = preprocessing
+    parsing.PorterStemmer = parsing_attr
     corpora.dictionary = dictionary
     for name, mod in [
         ("gensim", gensim),

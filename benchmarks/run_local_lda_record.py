@@ -70,7 +70,16 @@ def run_reference(k: int, it: int, s: int, seed: int) -> None:
     np.random.seed(seed)
 
     t0 = time.time()
+    import re
+
     import LocalLDA as ref
+
+    # Reference bug (LocalLDA.py:154-156): the split pattern '!|\.|\?|,|-|'
+    # ends in an empty alternative; on Python >= 3.7 re.split matches it at
+    # EVERY position, shredding documents into single characters and leaving
+    # an empty corpus.  Patch to the historical (pre-3.7) semantics the
+    # thesis ran with, where empty matches were skipped.
+    ref.splitdocs = lambda doc: re.split(r"!|\.|\?|,|-", doc)
 
     docs = read_texts()
     # lemma=True is the reference default; it needs nltk's wordnet corpus

@@ -26,6 +26,10 @@ import numpy as np
 sys.path.insert(0, "/root/repo")
 
 DATA = "/root/reference/abstracts_data.csv"
+
+from lda_thesis_tpu.utils.cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
 OUT = "/root/repo/PARITY.jsonl"
 
 

@@ -13,7 +13,7 @@ Environment knobs:
   ``~/.cache/lda_thesis_tpu/xla``).
 - ``LDA_NO_CACHE=1`` — disable entirely (e.g. read-only home).
 - ``LDA_CACHE_MIN_COMPILE_S`` — only persist compiles slower than this
-  (default 1.0 s; the TPU scans always qualify, CPU toys usually don't).
+  (default 0.2 s; the TPU scans always qualify, CPU toys usually don't).
 """
 
 from __future__ import annotations
@@ -35,9 +35,19 @@ def enable_persistent_cache(path: str | None = None) -> str | None:
     global _enabled
     if os.environ.get("LDA_NO_CACHE"):
         return None
-    path = path or os.environ.get("LDA_CACHE_DIR") or os.path.join(
-        os.path.expanduser("~"), ".cache", "lda_thesis_tpu", "xla"
-    )
+    if path is None:
+        path = os.environ.get("LDA_CACHE_DIR")
+    if path is None:
+        # prefer the repo-shipped cache (pre-warmed for the product configs
+        # by benchmarks/prewarm.py and committed) when it is writable
+        repo_cache = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))), ".jax_cache")
+        if os.path.isdir(repo_cache) and os.access(repo_cache, os.W_OK):
+            path = repo_cache
+        else:
+            path = os.path.join(
+                os.path.expanduser("~"), ".cache", "lda_thesis_tpu", "xla")
     if _enabled:
         return path
     try:
@@ -47,7 +57,7 @@ def enable_persistent_cache(path: str | None = None) -> str | None:
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update(
             "jax_persistent_cache_min_compile_time_secs",
-            float(os.environ.get("LDA_CACHE_MIN_COMPILE_S", "1.0")),
+            float(os.environ.get("LDA_CACHE_MIN_COMPILE_S", "0.2")),
         )
     except Exception:
         return None
