@@ -27,6 +27,31 @@ CASES = [
 
 
 @pytest.mark.skipif(not os.path.exists(DATA), reason="reference corpus absent")
+def test_llda_vi_auc_parity():
+    """CAVI engine reaches the thesis Gibbs plateau on the real corpus
+    (recorded full runs: PARITY.md VI table — 0.902/0.904/0.898 by depth).
+    Reduced budget keeps this CPU-runnable under -m slow."""
+    from lda_thesis_tpu.data.corpus import load_corpus, split_data
+    from lda_thesis_tpu.data.vocab import prune_dict
+    from lda_thesis_tpu.eval.metrics import binary_yreal, evaluate_ranking
+    from lda_thesis_tpu.models.labeled_lda_vi import LabeledLDAVI
+
+    corpus = load_corpus(DATA, d=1, mode="truncate")
+    train, test = split_data(corpus, seed=42)
+    dicti = prune_dict(train.docs, lower=0, upper=1)
+    model = LabeledLDAVI(train.docs, train.labs, list(train.labelset), dicti,
+                         alpha=0.1, beta=0.01, seed=42)
+    model.fit(iters=30)
+    th = np.asarray(model.infer(test.docs, iters=30))
+
+    y_bin = binary_yreal(test.labs, model.labelmap)[:, 1:]
+    th = th[:, 1:]
+    nonzero = np.where(th.sum(axis=1) != 0)[0]
+    m = evaluate_ranking(th[nonzero], y_bin[nonzero])
+    assert m["auc_roc"] >= 0.87, m["auc_roc"]
+
+
+@pytest.mark.skipif(not os.path.exists(DATA), reason="reference corpus absent")
 @pytest.mark.parametrize("depth,it,s,target,tol,needs_acc", CASES)
 def test_llda_auc_parity(depth, it, s, target, tol, needs_acc):
     import jax
