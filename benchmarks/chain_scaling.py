@@ -63,6 +63,12 @@ def main() -> None:
     ap.add_argument("--backend", default="auto", choices=("auto", "cpu"),
                     help="cpu = use the fake --xla_force_host_platform mesh "
                          "even when an accelerator plugin is present")
+    ap.add_argument("--sweep", default="fused", choices=("fused", "dense"),
+                    help="fused = merge-block whole-sweep kernel "
+                         "(parallel/fused_sharded.py, the trainer default); "
+                         "dense = exact per-position AD-LDA step")
+    ap.add_argument("--merge", type=int, default=5,
+                    help="sweeps per merge block on the fused path")
     args = ap.parse_args()
 
     from lda_thesis_tpu.parallel import (
@@ -80,33 +86,78 @@ def main() -> None:
 
     tok_v, tok_f, labs, V = load_real_corpus()
     tokens_per_sweep = float(tok_f.sum())
-    tv, tf, lb = shard_corpus(mesh, tok_v, tok_f, labs)
+    if args.sweep == "fused":
+        import numpy as _np
+
+        from lda_thesis_tpu.data.encode import compact_labels
+        from lda_thesis_tpu.parallel.fused_sharded import (
+            init_fused_sharded,
+            make_fused_sharded_step,
+            shard_fused_corpus,
+        )
+
+        Kp = 128 * ((labs.shape[1] + 127) // 128)
+        labs_p = _np.pad(labs, ((0, 0), (0, Kp - labs.shape[1])))
+        lab_ids, lab_valid = compact_labels(labs_p)
+        corpus = shard_fused_corpus(mesh, tok_v, tok_f, lab_ids, lab_valid)
+    else:
+        tv, tf, lb = shard_corpus(mesh, tok_v, tok_f, labs)
 
     base_rate = None
     for n_chains in (int(x) for x in args.chains.split(",")):
         if n_chains % mesh_chains:
             continue
         key = jax.random.PRNGKey(0)
-        state = init_sharded_state(key, mesh, tv, tf, lb, V, n_chains=n_chains)
-        step = make_sharded_train_step(mesh, n_chains, alpha=0.1, beta=0.01)
         save = jnp.bool_(False)
+        if args.sweep == "fused":
+            from lda_thesis_tpu.parallel.fused_sharded import (
+                make_fused_train_loop,
+            )
+
+            state = init_fused_sharded(key, mesh, *corpus, V, Kp,
+                                       n_chains=n_chains)
+            loop = make_fused_train_loop(
+                mesh, n_chains, alpha=0.1, beta=0.01,
+                merge_every=args.merge, topic_mask=None, corpus=corpus)
+            # one dispatch = args.merge * merge sweeps... use loop with
+            # iters = merge * sweeps-per-step; keep per-step granularity
+            import jax.numpy as _jnp
+
+            # ONE dispatch for the whole timed run: per-call dispatch on the
+            # tunnelled backend costs ~0.4 s regardless of content, so the
+            # honest measurement is the same single-jit structure real
+            # training uses (DistributedLabeledLDA.run_training)
+            total_sweeps = args.sweeps * args.merge
+            step = lambda k, st: loop(  # noqa: E731
+                k, st, _jnp.int32(0), iters=total_sweeps,
+                thinning=total_sweeps, M=args.merge)
+            sweeps_per_step = total_sweeps
+        else:
+            state = init_sharded_state(key, mesh, tv, tf, lb, V,
+                                       n_chains=n_chains)
+            dstep = make_sharded_train_step(mesh, n_chains, alpha=0.1,
+                                            beta=0.01)
+            step = lambda k, st: dstep(k, st, tv, tf, lb, save)  # noqa: E731
+            sweeps_per_step = 1
 
         # warmup (compile)
-        state = step(key, state, tv, tf, lb, save)
+        state = step(key, state)
         jax.block_until_ready(state.n_vk)
 
+        n_calls = 1 if sweeps_per_step > 1 else args.sweeps
         t0 = time.perf_counter()
-        for i in range(args.sweeps):
+        for i in range(n_calls):
             key, k = jax.random.split(key)
-            state = step(k, state, tv, tf, lb, save)
+            state = step(k, state)
         jax.block_until_ready(state.n_vk)
         dt = time.perf_counter() - t0
 
-        chain_sweeps_per_s = n_chains * args.sweeps / dt
+        chain_sweeps_per_s = n_chains * n_calls * sweeps_per_step / dt
         if base_rate is None:
             base_rate = chain_sweeps_per_s
         print(json.dumps({
             "n_chains": n_chains,
+            "sweep": args.sweep,
             "mesh": {"chains": mesh_chains, "data": 1},
             "backend": jax.default_backend(),
             "chain_sweeps_per_s": round(chain_sweeps_per_s, 3),

@@ -119,7 +119,7 @@ def _train_gibbs(cfg: RunConfig, opt, train):
             print(f"resumed from {opt.checkpoint} at iteration {done}")
         while done < g.iters:
             chunk = min(save_every, g.iters - done)
-            model.run_training(chunk, g.thinning)
+            model.run_training(chunk, g.thinning, total_iters=g.iters)
             done += chunk
             if opt.checkpoint:
                 from ..parallel.sharded_io import save_sharded

@@ -35,6 +35,7 @@ def save_sharded(path: str, model, iters_done: int = 0) -> None:
     }
     meta = {
         "kind": "DistributedLabeledLDA",
+        "sweep": getattr(model, "sweep", "dense"),
         "n_chains": int(model.n_chains),
         "K": int(model.K),
         "Kp": int(model.Kp),
@@ -71,6 +72,14 @@ def restore_sharded(path: str, model) -> Dict[str, Any]:
             f"model {np.asarray(model.state.z).shape}"
         )
 
+    layout = meta.get("sweep", "dense")
+    if layout != getattr(model, "sweep", "dense"):
+        raise ValueError(
+            f"checkpoint layout is {layout!r}, model sweep is "
+            f"{getattr(model, 'sweep', 'dense')!r} (construct with "
+            f"sweep={layout!r})"
+        )
+
     # explicit mesh shardings (the freshly initialised model's ph_hat/th_hat
     # are plain single-device zeros until the first step runs — their
     # .sharding is NOT the mesh placement the training step expects)
@@ -79,20 +88,36 @@ def restore_sharded(path: str, model) -> Dict[str, Any]:
             jnp.asarray(arrays[name]), NamedSharding(model.mesh, spec)
         )
 
-    model.state = ShardedLDAState(
-        z=put("z", P("chains", "data", None)),
-        n_dk=put("n_dk", P("chains", "data", None)),
-        n_vk=put("n_vk", P("chains", None, None)),
-        n_k=put("n_k", P("chains", None)),
-        ph_hat=put("ph_hat", P("chains", None, None)),
-        th_hat=put("th_hat", P("chains", "data", None)),
-        s=put("s", P()),
-    )
+    if layout == "fused":
+        from .fused_sharded import FusedShardedState
+
+        model.state = FusedShardedState(
+            z=put("z", P("chains", None, "data")),
+            n_dk=put("n_dk", P("chains", None, "data")),
+            n_vk=put("n_vk", P("chains", None, None)),
+            n_k=put("n_k", P("chains", None)),
+            ph_hat=put("ph_hat", P("chains", None, None)),
+            th_hat=put("th_hat", P("chains", "data", None)),
+            s=put("s", P()),
+        )
+    else:
+        model.state = ShardedLDAState(
+            z=put("z", P("chains", "data", None)),
+            n_dk=put("n_dk", P("chains", "data", None)),
+            n_vk=put("n_vk", P("chains", None, None)),
+            n_k=put("n_k", P("chains", None)),
+            ph_hat=put("ph_hat", P("chains", None, None)),
+            th_hat=put("th_hat", P("chains", "data", None)),
+            s=put("s", P()),
+        )
     # replicate the key over the mesh — a single-device key mixed with
     # mesh-sharded state arrays fails jit's device-set check
     model._key = jax.device_put(
         jnp.asarray(arrays["rng_key"]), NamedSharding(model.mesh, P())
     )
+    if layout == "fused":
+        # fused block keys derive from the fixed master key + this counter
+        model._sweeps_done = int(meta.get("iters_done", 0))
     return meta
 
 

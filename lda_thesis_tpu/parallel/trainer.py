@@ -23,8 +23,19 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh
 
-from ..data.encode import binarize_labels, build_labelmap, encode_bow_types
+from ..data.encode import (
+    binarize_labels,
+    build_labelmap,
+    compact_labels,
+    encode_bow_types,
+)
 from ..models.labeled_lda import _test_loop
+from .fused_sharded import (
+    FusedShardedState,
+    init_fused_sharded,
+    make_fused_train_loop,
+    shard_fused_corpus,
+)
 from .sharded import (
     ShardedLDAState,
     init_sharded_state,
@@ -51,6 +62,8 @@ class DistributedLabeledLDA:
         n_chains: Optional[int] = None,
         seed: int = 0,
         k_pad: int = 128,
+        sweep: str = "auto",
+        merge_every: int = 5,
     ):
         self.alpha = float(alpha)
         self.beta = float(beta)
@@ -76,27 +89,78 @@ class DistributedLabeledLDA:
         self.topic_mask = jnp.asarray((np.arange(self.Kp) < self.K).astype(np.float32))
         self.n_tokens = int(tok_f.sum())
 
-        self.tok_v, self.tok_f, self.labs = shard_corpus(
-            self.mesh, tok_v, tok_f, lab_mask
-        )
+        # sweep kernel: "fused" (default) = whole-sweep merge-block Pallas
+        # sampler per (chain, shard) — parallel/fused_sharded.py; "dense" =
+        # the exact per-position AD-LDA step (parallel/sharded.py).
+        if sweep == "auto":
+            sweep = "fused"
+        self.sweep = sweep
+        self.merge_every = max(int(merge_every), 1)
 
         self._key = jax.random.PRNGKey(seed)
         self._key, k0 = jax.random.split(self._key)
-        self.state: ShardedLDAState = init_sharded_state(
-            k0, self.mesh, self.tok_v, self.tok_f, self.labs, self.V,
-            n_chains=self.n_chains,
-        )
-        self._step = make_sharded_train_step(
-            self.mesh, self.n_chains, alpha=self.alpha, beta=self.beta,
-            topic_mask=self.topic_mask,
-        )
+        if sweep == "fused":
+            lab_ids, lab_valid = compact_labels(lab_mask)
+            self.A = lab_ids.shape[1]
+            (self._tok_v_t, self._tok_f_t, self._lab_ids,
+             self._lab_valid_t) = shard_fused_corpus(
+                self.mesh, tok_v, tok_f, lab_ids, lab_valid)
+            self.state: FusedShardedState = init_fused_sharded(
+                k0, self.mesh, self._tok_v_t, self._tok_f_t, self._lab_ids,
+                self._lab_valid_t, self.V, self.Kp, n_chains=self.n_chains,
+            )
+            self._loop = None  # whole-run jitted training loop
+            # chunk-invariant RNG: block keys derive from a FIXED master key
+            # + the global sweep counter, so checkpointed/resumed runs draw
+            # the identical stream as uninterrupted ones
+            self._master_key = jax.random.fold_in(self._key, 0x5eed)
+            self._sweeps_done = 0
+        else:
+            self.tok_v, self.tok_f, self.labs = shard_corpus(
+                self.mesh, tok_v, tok_f, lab_mask
+            )
+            self.state = init_sharded_state(
+                k0, self.mesh, self.tok_v, self.tok_f, self.labs, self.V,
+                n_chains=self.n_chains,
+            )
+            self._step = make_sharded_train_step(
+                self.mesh, self.n_chains, alpha=self.alpha, beta=self.beta,
+                topic_mask=self.topic_mask,
+            )
 
     # ---------------------------------------------------------------- train
 
-    def run_training(self, iters: int, thinning: int) -> None:
+    def run_training(self, iters: int, thinning: int,
+                     total_iters: int = None) -> None:
         """``iters`` AD-LDA sweeps; φ/θ folded into the thinned running means
-        every ``thinning`` sweeps (reference rule, LabeledLDA.py:131-145)."""
-        for i in range(int(iters)):
+        every ``thinning`` sweeps (reference rule, LabeledLDA.py:131-145).
+
+        ``total_iters`` (chunked/checkpointed runs): the full planned sweep
+        count, so the merge-block size — which is capped for tiny budgets —
+        matches the uninterrupted run's and resume stays bit-identical.
+        """
+        iters, thinning = int(iters), int(thinning)
+        if self.sweep == "fused":
+            if self._loop is None:
+                self._loop = make_fused_train_loop(
+                    self.mesh, self.n_chains, alpha=self.alpha,
+                    beta=self.beta, merge_every=self.merge_every,
+                    topic_mask=self.topic_mask,
+                    corpus=(self._tok_v_t, self._tok_f_t, self._lab_ids,
+                            self._lab_valid_t),
+                )
+            budget = int(total_iters) if total_iters else iters
+            cap = min(self.merge_every, max(1, budget // 8))
+            M = max((m for m in range(1, cap + 1) if thinning % m == 0),
+                    default=1)
+            self.state = self._loop(
+                self._master_key, self.state,
+                jnp.int32(self._sweeps_done),
+                iters=iters, thinning=thinning, M=M,
+            )
+            self._sweeps_done += iters
+            return
+        for i in range(iters):
             self._key, k = jax.random.split(self._key)
             save = jnp.bool_((i + 1) % thinning == 0)
             self.state = self._step(
