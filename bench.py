@@ -59,8 +59,11 @@ def main() -> None:
     else:
         path = "xla"
 
-    # warmup with the SAME static config so the timed runs hit the jit cache
-    n_sweeps = 20
+    # warmup with the SAME static config so the timed runs hit the jit cache.
+    # 60-sweep windows: long enough that the fused sampler's small-budget
+    # merge cap (models/labeled_lda.py) does not kick in — the measurement
+    # represents sustained training, not a 20-sweep toy budget
+    n_sweeps = 60
     model.run_training(n_sweeps, n_sweeps, perplexity=False)
 
     rates = []
