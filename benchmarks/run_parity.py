@@ -71,8 +71,9 @@ def run_llda(depth: int, it: int, s: int, seed: int) -> None:
     })
 
 
-def run_llda_vi(depth: int, it: int, seed: int, test_iters: int = 100) -> None:
-    """CAVI engine at thesis scale (round-3 VERDICT item 2)."""
+def run_llda_vi(depth: int, it: int, seed: int, test_iters: int = 100,
+                svi: bool = False) -> None:
+    """CAVI/SVI engine at thesis scale (round-3 VERDICT item 2)."""
     from lda_thesis_tpu.data.corpus import load_corpus, split_data
     from lda_thesis_tpu.data.vocab import prune_dict
     from lda_thesis_tpu.eval.metrics import binary_yreal, evaluate_ranking
@@ -84,7 +85,10 @@ def run_llda_vi(depth: int, it: int, seed: int, test_iters: int = 100) -> None:
     dicti = prune_dict(train.docs, lower=0, upper=1)
     model = LabeledLDAVI(train.docs, train.labs, list(train.labelset), dicti,
                          alpha=0.1, beta=0.01, seed=seed)
-    model.fit(iters=it)
+    if svi:
+        model.fit_svi(epochs=it, batch_size=512)
+    else:
+        model.fit(iters=it)
     t_train = time.time() - t0
     th = model.infer(test.docs, iters=test_iters)
     t_all = time.time() - t0
@@ -94,7 +98,8 @@ def run_llda_vi(depth: int, it: int, seed: int, test_iters: int = 100) -> None:
     nonzero = np.where(th.sum(axis=1) != 0)[0]
     m = evaluate_ranking(th[nonzero], y_bin[nonzero])
     record({
-        "model": "llda-vi", "depth": depth, "it": it, "seed": seed,
+        "model": "llda-svi" if svi else "llda-vi",
+        "depth": depth, "it": it, "seed": seed,
         "test_it": test_iters,
         "auc": round(m["auc_roc"], 4),
         "one_hit": round(m["one_hit"], 4), "two_hit": round(m["two_hit"], 4),
@@ -148,7 +153,8 @@ def run_cascade(it: int, s: int, seed: int, sweep: str = "dense",
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--model", choices=("llda", "llda-vi", "cascade"),
+    ap.add_argument("--model",
+                    choices=("llda", "llda-vi", "llda-svi", "cascade"),
                     required=True)
     ap.add_argument("--depth", type=int, default=3)
     ap.add_argument("--it", type=int, required=True)
@@ -162,9 +168,10 @@ def main() -> None:
     args = ap.parse_args()
     if args.model == "llda":
         run_llda(args.depth, args.it, args.s, args.seed)
-    elif args.model == "llda-vi":
+    elif args.model in ("llda-vi", "llda-svi"):
         run_llda_vi(args.depth, args.it, args.seed,
-                    test_iters=args.test_it or 100)
+                    test_iters=args.test_it or 100,
+                    svi=args.model == "llda-svi")
     else:
         run_cascade(args.it, args.s, args.seed, sweep=args.sweep,
                     root_it=args.root_it, root_s=args.root_s,
