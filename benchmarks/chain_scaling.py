@@ -92,7 +92,6 @@ def main() -> None:
         from lda_thesis_tpu.data.encode import compact_labels
         from lda_thesis_tpu.parallel.fused_sharded import (
             init_fused_sharded,
-            make_fused_sharded_step,
             shard_fused_corpus,
         )
 

@@ -34,8 +34,7 @@ from ..ops.gibbs_fused import FusedLDAState, fused_train_block, theta_from_fused
 from ..models.state import phi_from_counts, running_average
 
 __all__ = ["FusedShardedState", "shard_fused_corpus", "init_fused_sharded",
-           "make_fused_sharded_step", "make_fused_save_step",
-           "make_fused_train_loop"]
+           "make_fused_sharded_step", "make_fused_train_loop"]
 
 
 class FusedShardedState(NamedTuple):
@@ -132,10 +131,11 @@ def make_fused_sharded_step(
     corpus=None,
 ):
     """Build the jitted merge-block step: ``M`` fused sweeps per (chain,
-    shard) + psum delta merge + (on ``save``) thinned-mean update.
+    shard) + psum delta merge (step-at-a-time API; training runs use
+    :func:`make_fused_train_loop`, which also handles thinned-mean saves).
 
-    Returns ``step(key, state, tok_v_t, tok_f_t, lab_ids, lab_valid_t,
-    save) -> state``.
+    Returns ``step(key, state, tok_v_t, tok_f_t, lab_ids, lab_valid_t)
+    -> state`` — or ``step(key, state)`` when ``corpus`` is baked in.
 
     On a **single-device mesh** the body runs as a plain jit (no
     ``shard_map``): all collectives are identities there, and the available
@@ -201,8 +201,8 @@ def make_fused_sharded_step(
         # cond-free by design: a traced-bool lax.cond at the top level sends
         # the available tunnelled backend down a host-fallback path (~2 s
         # per call measured vs ~10 ms for the identical cond-free program).
-        # Thinned saves are a separate jit (make_fused_save_step) invoked by
-        # the trainer only on thinning boundaries.
+        # Thinned-mean saves happen inside make_fused_train_loop's
+        # save-block scan, never behind a traced conditional.
         z, n_dk, n_vk, n_k = _block(
             key, state.z, state.n_dk, state.n_vk, state.n_k,
             tok_v_t, tok_f_t, lab_ids, lab_valid_t,
@@ -220,35 +220,6 @@ def make_fused_sharded_step(
         tvt, tft, li, lvt = corpus
         return jax.jit(lambda key, state: step(key, state, tvt, tft, li, lvt))
     return jax.jit(step)
-
-
-def make_fused_save_step(alpha: float, beta: float, topic_mask=None,
-                         labels=None):
-    """Jitted thinned-mean update (reference rule LabeledLDA.py:131-145),
-    run unconditionally — the trainer calls it only on save boundaries.
-    ``labels=(lab_ids, lab_valid_t)`` bakes the static label arrays in as
-    constants (same tunnel-backend rationale as make_fused_sharded_step)."""
-
-    @jax.jit
-    def save_step(state: FusedShardedState, lab_ids, lab_valid_t):
-        K = state.n_vk.shape[2]
-        cur_ph = jax.vmap(
-            lambda nv, nk: phi_from_counts(nv, nk, beta, topic_mask)
-        )(state.n_vk, state.n_k)  # (C, V, K)
-        cur_th = jax.vmap(
-            lambda nd: theta_from_fused(nd, lab_ids, lab_valid_t.T, alpha, K)
-        )(state.n_dk)  # (C, D, K)
-        s2 = state.s + 1
-        return state._replace(
-            ph_hat=running_average(state.ph_hat, cur_ph, s2),
-            th_hat=running_average(state.th_hat, cur_th, s2),
-            s=s2,
-        )
-
-    if labels is not None:
-        li, lvt = labels
-        return jax.jit(lambda state: save_step(state, li, lvt))
-    return save_step
 
 
 def make_fused_train_loop(
