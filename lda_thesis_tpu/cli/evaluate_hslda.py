@@ -97,7 +97,9 @@ def main(argv=None) -> None:
     from ..utils.checkpoint import restore_model, save_model
 
     save_every = opt.save_every or opt.it
-    if save_every % opt.thinning:
+    if opt.checkpoint and opt.save_every and save_every % opt.thinning:
+        # alignment only matters when checkpoint chunking is requested;
+        # otherwise trailing cycles simply run unsaved (reference rule)
         raise SystemExit("--save-every must be a multiple of -s (thinning)")
     done = 0
     if opt.resume and opt.checkpoint and os.path.exists(opt.checkpoint + ".npz"):

@@ -44,6 +44,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="skip perplexity tracking during training")
     p.add_argument("--engine", choices=("gibbs", "vi"), default="gibbs",
                    help="inference engine: collapsed Gibbs or CAVI")
+    p.add_argument("--sweep", choices=("auto", "fused", "dense", "compact"),
+                   default="auto",
+                   help="Gibbs sweep kernel (auto=fused); needed e.g. to "
+                        "--resume a checkpoint written with another kernel")
     p.add_argument("--checkpoint", default=None, metavar="PATH",
                    help="checkpoint path prefix (writes PATH.npz + PATH.json)")
     p.add_argument("--save-every", type=int, default=0, metavar="N",
@@ -101,14 +105,16 @@ def _train_gibbs(cfg: RunConfig, opt, train):
             mesh_chains -= 1
         mesh = make_mesh(n_data=cfg.n_data_shards, n_chains=mesh_chains,
                          devices=jax.devices()[: mesh_chains * cfg.n_data_shards])
+        if opt.sweep == "compact":
+            raise SystemExit("--sweep compact is single-chip only")
         model = DistributedLabeledLDA(
             train.docs, train.labs, list(train.labelset), dicti,
             alpha=g.alpha, beta=g.beta, mesh=mesh, n_chains=cfg.n_chains,
-            seed=g.seed,
+            seed=g.seed, sweep=opt.sweep,
         )
 
         save_every = opt.save_every or g.iters
-        if save_every % g.thinning:
+        if opt.checkpoint and opt.save_every and save_every % g.thinning:
             raise SystemExit("--save-every must be a multiple of -s (thinning)")
         done = 0
         if opt.resume and opt.checkpoint and os.path.exists(opt.checkpoint + ".npz"):
@@ -132,10 +138,11 @@ def _train_gibbs(cfg: RunConfig, opt, train):
     from ..utils.checkpoint import restore_model, save_model
 
     model = LabeledLDA(train.docs, train.labs, list(train.labelset), dicti,
-                       alpha=g.alpha, beta=g.beta, seed=g.seed)
+                       alpha=g.alpha, beta=g.beta, seed=g.seed,
+                       sweep=opt.sweep)
 
     save_every = opt.save_every or g.iters
-    if save_every % g.thinning:
+    if opt.checkpoint and opt.save_every and save_every % g.thinning:
         raise SystemExit("--save-every must be a multiple of -s (thinning)")
 
     done = 0
@@ -148,7 +155,8 @@ def _train_gibbs(cfg: RunConfig, opt, train):
         chunk = min(save_every, g.iters - done)
         model.run_training(chunk, g.thinning,
                            perplexity=not opt.no_perplexity,
-                           continue_avg=done > 0)
+                           continue_avg=done > 0,
+                           total_iters=g.iters)
         done += chunk
         if opt.checkpoint:
             save_model(opt.checkpoint, model, extra_meta={"iters_done": done})

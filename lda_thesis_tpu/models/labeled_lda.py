@@ -48,6 +48,7 @@ from ..ops.gibbs_fused import (
     FusedBucketState,
     fused_train_block_buckets,
     init_fused_buckets,
+    select_merge_block,
     theta_from_fused,
 )
 from .state import (
@@ -535,12 +536,15 @@ class LabeledLDA:
         thinning: int,
         perplexity: bool = True,
         continue_avg: bool = False,
+        total_iters: int = None,
     ) -> None:
         """``iters`` Gibbs sweeps (reference run_training, LabeledLDA.py:127-153).
 
         ``continue_avg=True`` carries the thinned φ̂/θ̂ running means across
         calls (for checkpointed / chunked training); the default restarts
-        them each call, as the reference does.
+        them each call, as the reference does.  ``total_iters`` (chunked
+        runs): the full planned sweep count, so the fused path's merge
+        block matches the uninterrupted run's.
         """
         self._key, k = jax.random.split(self._key)
         if continue_avg and self._avg_s > 0:
@@ -555,17 +559,8 @@ class LabeledLDA:
                 jnp.int32(0),
             )
         if self.sweep == "fused":
-            # merge block = largest divisor of thinning <= merge_every, so
-            # thinned saves always see freshly committed counts.  Tiny
-            # budgets additionally cap the block at iters/8: freezing the
-            # table for half of a 4-sweep run costs real AUC (measured
-            # ~-0.03 at the reference's (4; 4) config), while at thesis
-            # scale (2000 sweeps) merge=5 is quality-neutral (PARITY.md).
-            cap = min(self.merge_every, max(1, int(iters) // 8))
-            merge = max(
-                (m for m in range(1, cap + 1) if int(thinning) % m == 0),
-                default=1,
-            )
+            budget = int(total_iters) if total_iters else int(iters)
+            merge = select_merge_block(self.merge_every, int(thinning), budget)
             self.counts, self.ph_hat, th_hat_t, s, perps = _train_loop_fused(
                 k,
                 self.counts,

@@ -54,6 +54,7 @@ __all__ = [
     "FusedLDAState",
     "FusedBucketState",
     "fused_pallas_supported",
+    "select_merge_block",
     "init_fused",
     "init_fused_buckets",
     "fused_train_block",
@@ -76,6 +77,24 @@ class FusedLDAState(NamedTuple):
     n_dk: jax.Array
     n_vk: jax.Array
     n_k: jax.Array
+
+
+def select_merge_block(merge_every: int, thinning: int, budget: int) -> int:
+    """Merge-block size M for a training run.
+
+    Largest divisor of ``thinning`` ≤ ``merge_every`` — so thinned saves
+    always land on freshly committed counts — additionally capped at
+    ``budget // 8`` for tiny total budgets: freezing the table for half of
+    a 4-sweep run costs real AUC (measured ~−0.03 at the reference's (4; 4)
+    config, PARITY.md), while at thesis scale the cap is inactive.  Both
+    the single-chip model and the distributed trainer MUST use this one
+    function: chunk-invariant (bit-identical) resume requires the same M
+    for the chunked and the uninterrupted run, which is why ``budget`` is
+    the *total planned* sweeps, not the current call's.
+    """
+    cap = min(int(merge_every), max(1, int(budget) // 8))
+    return max((m for m in range(1, cap + 1) if int(thinning) % m == 0),
+               default=1)
 
 
 def fused_pallas_supported() -> bool:

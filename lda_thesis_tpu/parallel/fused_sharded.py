@@ -30,11 +30,12 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.gibbs import init_counts_compact
+from ._util import pad_axis_to as _pad_docs
 from ..ops.gibbs_fused import FusedLDAState, fused_train_block, theta_from_fused
 from ..models.state import phi_from_counts, running_average
 
 __all__ = ["FusedShardedState", "shard_fused_corpus", "init_fused_sharded",
-           "make_fused_sharded_step", "make_fused_train_loop"]
+           "make_fused_train_loop"]
 
 
 class FusedShardedState(NamedTuple):
@@ -45,14 +46,6 @@ class FusedShardedState(NamedTuple):
     ph_hat: jax.Array  # (C, V, K) thinned running mean
     th_hat: jax.Array  # (C, D, K)
     s: jax.Array  # () int32 save counter
-
-
-def _pad_docs(x: np.ndarray, target: int, axis: int) -> np.ndarray:
-    if x.shape[axis] == target:
-        return x
-    pad = [(0, 0)] * x.ndim
-    pad[axis] = (0, target - x.shape[axis])
-    return np.pad(x, pad)
 
 
 def shard_fused_corpus(mesh: Mesh, tok_v, tok_f, lab_ids, lab_valid):
@@ -119,107 +112,6 @@ def init_fused_sharded(
         th_hat=jnp.zeros((C, D, K), jnp.float32),
         s=jnp.int32(0),
     )
-
-
-def make_fused_sharded_step(
-    mesh: Mesh,
-    n_chains: int,
-    alpha: float,
-    beta: float,
-    M: int,
-    topic_mask=None,
-    corpus=None,
-):
-    """Build the jitted merge-block step: ``M`` fused sweeps per (chain,
-    shard) + psum delta merge (step-at-a-time API; training runs use
-    :func:`make_fused_train_loop`, which also handles thinned-mean saves).
-
-    Returns ``step(key, state, tok_v_t, tok_f_t, lab_ids, lab_valid_t)
-    -> state`` — or ``step(key, state)`` when ``corpus`` is baked in.
-
-    On a **single-device mesh** the body runs as a plain jit (no
-    ``shard_map``): all collectives are identities there, and the available
-    tunnelled backend executes manually-partitioned programs ~20–200×
-    slower than the identical unpartitioned program (probe_fsh6 logs,
-    2026-08-21) — on one chip, chain batching is just an unrolled loop.
-    """
-    local = n_chains // mesh.shape["chains"]
-    single_device = mesh.shape["chains"] == 1 and mesh.shape["data"] == 1
-
-    def _body(key, z, n_dk, n_vk, n_k, tok_v_t, tok_f_t, lab_ids,
-              lab_valid_t, ci, di, psum):
-        zs, ndks, dvks, dks = [], [], [], []
-        # unrolled over local chains: each is one whole-block Pallas call
-        for j in range(local):
-            k = jax.random.fold_in(jax.random.fold_in(key, ci * 1009 + j), di)
-            st = FusedLDAState(z=z[j], n_dk=n_dk[j], n_vk=n_vk[j], n_k=n_k[j])
-            st2 = fused_train_block(
-                k, st, tok_v_t, tok_f_t, lab_ids, lab_valid_t, alpha, beta, M
-            )
-            zs.append(st2.z)
-            ndks.append(st2.n_dk)
-            dvks.append(st2.n_vk - n_vk[j])
-            dks.append(st2.n_k - n_k[j])
-        d_vk = psum(jnp.stack(dvks))
-        d_k = psum(jnp.stack(dks))
-        return jnp.stack(zs), jnp.stack(ndks), n_vk + d_vk, n_k + d_k
-
-    if single_device:
-        def _block(key, z, n_dk, n_vk, n_k, tok_v_t, tok_f_t, lab_ids,
-                   lab_valid_t):
-            return _body(key, z, n_dk, n_vk, n_k, tok_v_t, tok_f_t, lab_ids,
-                         lab_valid_t, jnp.int32(0), jnp.int32(0), lambda x: x)
-    else:
-        @partial(
-            shard_map, mesh=mesh,
-            in_specs=(
-                P(),
-                P("chains", None, "data"),  # z
-                P("chains", None, "data"),  # n_dk
-                P("chains", None, None),  # n_vk
-                P("chains", None),  # n_k
-                P(None, "data"),  # tok_v_t
-                P(None, "data"),  # tok_f_t
-                P("data", None),  # lab_ids
-                P(None, "data"),  # lab_valid_t
-            ),
-            out_specs=(P("chains", None, "data"), P("chains", None, "data"),
-                       P("chains", None, None), P("chains", None)),
-            check_vma=False,
-        )
-        def _block(key, z, n_dk, n_vk, n_k, tok_v_t, tok_f_t, lab_ids,
-                   lab_valid_t):
-            return _body(
-                key, z, n_dk, n_vk, n_k, tok_v_t, tok_f_t, lab_ids,
-                lab_valid_t,
-                jax.lax.axis_index("chains"), jax.lax.axis_index("data"),
-                lambda x: jax.lax.psum(x, "data"),
-            )
-
-    def step(key, state: FusedShardedState, tok_v_t, tok_f_t, lab_ids,
-             lab_valid_t) -> FusedShardedState:
-        # cond-free by design: a traced-bool lax.cond at the top level sends
-        # the available tunnelled backend down a host-fallback path (~2 s
-        # per call measured vs ~10 ms for the identical cond-free program).
-        # Thinned-mean saves happen inside make_fused_train_loop's
-        # save-block scan, never behind a traced conditional.
-        z, n_dk, n_vk, n_k = _block(
-            key, state.z, state.n_dk, state.n_vk, state.n_k,
-            tok_v_t, tok_f_t, lab_ids, lab_valid_t,
-        )
-        return FusedShardedState(
-            z=z, n_dk=n_dk, n_vk=n_vk, n_k=n_k,
-            ph_hat=state.ph_hat, th_hat=state.th_hat, s=state.s,
-        )
-
-    if single_device and corpus is not None:
-        # bake the static corpus into the executable: the tunnelled backend
-        # re-ships argument buffers on every dispatch (~400 ms/sweep for the
-        # abstracts corpus, measured), while jaxpr constants upload once at
-        # compile time.  Signature shrinks to step(key, state).
-        tvt, tft, li, lvt = corpus
-        return jax.jit(lambda key, state: step(key, state, tvt, tft, li, lvt))
-    return jax.jit(step)
 
 
 def make_fused_train_loop(

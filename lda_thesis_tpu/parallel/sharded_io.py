@@ -33,6 +33,11 @@ def save_sharded(path: str, model, iters_done: int = 0) -> None:
         "s": np.asarray(st.s),
         "rng_key": np.asarray(model._key),
     }
+    if getattr(model, "sweep", "dense") == "fused":
+        # the fused path's chunk-invariant stream derives from this key +
+        # the sweep counter — persist it so a resume with a different
+        # constructor seed still continues the original stream exactly
+        arrays["master_key"] = np.asarray(model._master_key)
     meta = {
         "kind": "DistributedLabeledLDA",
         "sweep": getattr(model, "sweep", "dense"),
@@ -118,6 +123,11 @@ def restore_sharded(path: str, model) -> Dict[str, Any]:
     if layout == "fused":
         # fused block keys derive from the fixed master key + this counter
         model._sweeps_done = int(meta.get("iters_done", 0))
+        if "master_key" in arrays:
+            model._master_key = jax.device_put(
+                jnp.asarray(arrays["master_key"]),
+                NamedSharding(model.mesh, P()),
+            )
     return meta
 
 

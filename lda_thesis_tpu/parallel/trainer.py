@@ -149,10 +149,10 @@ class DistributedLabeledLDA:
                     corpus=(self._tok_v_t, self._tok_f_t, self._lab_ids,
                             self._lab_valid_t),
                 )
+            from ..ops.gibbs_fused import select_merge_block
+
             budget = int(total_iters) if total_iters else iters
-            cap = min(self.merge_every, max(1, budget // 8))
-            M = max((m for m in range(1, cap + 1) if thinning % m == 0),
-                    default=1)
+            M = select_merge_block(self.merge_every, thinning, budget)
             self.state = self._loop(
                 self._master_key, self.state,
                 jnp.int32(self._sweeps_done),

@@ -35,6 +35,7 @@ import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ._util import pad_axis_to as _pad_to
 from ..ops.gibbs_fused import (
     FusedLDAState,
     fused_train_block,
@@ -56,14 +57,6 @@ class VocabShardedState(NamedTuple):
     n_dk: jax.Array
     n_vk: jax.Array
     n_k: jax.Array
-
-
-def _pad_to(x: np.ndarray, target: int, axis: int = 0) -> np.ndarray:
-    if x.shape[axis] == target:
-        return x
-    pad = [(0, 0)] * x.ndim
-    pad[axis] = (0, target - x.shape[axis])
-    return np.pad(x, pad)
 
 
 def shard_vocab_corpus(mesh: Mesh, tok_v_t, tok_f_t, lab_ids, lab_valid_t):

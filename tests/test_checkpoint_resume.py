@@ -86,7 +86,8 @@ def test_cli_checkpoint_flow(tmp_path):
     def opts(**kw):
         base = dict(file="x", lvl=1, it=8, thinning=2, lower=0.0, upper=1.0,
                     alpha=0.1, beta=0.01, pickle=False, seed=7,
-                    no_perplexity=True, engine="gibbs", checkpoint=None,
+                    no_perplexity=True, engine="gibbs", sweep="auto",
+                    checkpoint=None,
                     save_every=4, resume=False, n_chains=1, n_data=1)
         base.update(kw)
         return SimpleNamespace(**base)
