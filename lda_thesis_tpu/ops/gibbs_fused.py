@@ -280,12 +280,21 @@ def fused_train_block(
     alpha: float,
     beta: float,
     M: int,
+    vbeta: float | None = None,
 ) -> FusedLDAState:
-    """``M`` Gibbs sweeps against the block-start table + one delta commit."""
+    """``M`` Gibbs sweeps against the block-start table + one delta commit.
+
+    ``vbeta`` — the posterior denominator's smoothing constant ``V*beta``
+    (LabeledLDA.py:116).  Defaults to the table's own row count, which is
+    exact for unpadded tables; callers whose table carries *padded* vocab
+    rows (parallel/vocab_sharded.py pads V to a multiple of the shard
+    count) MUST pass the true ``V*beta`` or the denominator silently
+    diverges from every other sampler path.
+    """
     U, D = tok_v_t.shape
     A = lab_ids.shape[1]
     V, K = state.n_vk.shape
-    vbeta = float(V * beta)
+    vbeta = float(V * beta) if vbeta is None else float(vbeta)
     tril = jnp.tril(jnp.ones((A, A), jnp.float32))
 
     cv_all = gather_cv(state.n_vk, tok_v_t, lab_ids)

@@ -98,9 +98,24 @@ def init_vocab_sharded(
     )
 
 
-def make_vocab_sharded_block(mesh: Mesh, alpha: float, beta: float, M: int):
+def make_vocab_sharded_block(mesh: Mesh, alpha: float, beta: float, M: int,
+                             V: int = None):
     """Jitted merge block: all_gather table → M local fused sweeps →
-    psum_scatter the vocab-axis deltas back to their owner shards."""
+    psum_scatter the vocab-axis deltas back to their owner shards.
+
+    ``V`` — the TRUE (unpadded) vocabulary size.  The sharded table pads its
+    vocab axis to ``Vp = ceil(V/S)*S``; the sampler's denominator smoothing
+    constant must still be ``V*beta`` (LabeledLDA.py:116), so it is threaded
+    through explicitly rather than derived from the padded table shape.
+    Required — draw-for-draw parity with the unsharded fused sampler
+    (tests/test_vocab_sharded.py::test_matches_unsharded_fused) breaks
+    whenever ``V % S != 0`` otherwise.
+    """
+    if V is None:
+        raise TypeError(
+            "make_vocab_sharded_block requires the true vocab size V: the "
+            "sharded table is padded, and V*beta must use the unpadded V")
+    vbeta = float(V) * float(beta)
 
     @partial(
         shard_map, mesh=mesh,
@@ -129,7 +144,7 @@ def make_vocab_sharded_block(mesh: Mesh, alpha: float, beta: float, M: int):
         st = FusedLDAState(z=z, n_dk=n_dk, n_vk=n_vk_full, n_k=n_k)
         st = fused_train_block(
             k_local, st, tok_v_t, tok_f_t, lab_ids, lab_valid_t,
-            alpha, beta, M,
+            alpha, beta, M, vbeta=vbeta,
         )
         # block end: route each shard's deltas to the rows' owner shards
         delta = st.n_vk - n_vk_full  # (V, K) local deltas, sparse in rows

@@ -49,7 +49,7 @@ def test_table_is_vocab_sharded(setup):
 @pytest.mark.parametrize("M", [1, 3])
 def test_block_invariants(setup, M):
     mesh, state, corpus, total = setup
-    block = make_vocab_sharded_block(mesh, alpha=0.1, beta=0.01, M=M)
+    block = make_vocab_sharded_block(mesh, alpha=0.1, beta=0.01, M=M, V=V)
     for i in range(3):
         state = block(jax.random.PRNGKey(100 + i), state, *corpus)
     n_vk = np.asarray(full_table(state))
@@ -59,10 +59,58 @@ def test_block_invariants(setup, M):
     assert float(np.asarray(state.n_dk).sum()) == total
 
 
+def test_matches_unsharded_fused(setup):
+    """Draw-for-draw parity: the vocab-sharded block must equal running the
+    unsharded fused sampler per data shard against the same frozen table —
+    including the denominator ``V*beta`` with the TRUE (unpadded) V.  The
+    test problem has V=44, S=8 → Vp=48, so any padded-V leakage into the
+    smoothing constant (ADVICE round 3, medium) changes the draws."""
+    import jax.numpy as jnp
+
+    from lda_thesis_tpu.ops.gibbs_fused import FusedLDAState, fused_train_block
+
+    mesh, state, corpus, total = setup
+    S = mesh.shape["data"]
+    M, beta = 3, 0.01
+    key = jax.random.PRNGKey(77)
+    block = make_vocab_sharded_block(mesh, alpha=0.1, beta=beta, M=M, V=V)
+    out = block(key, state, *corpus)
+
+    # oracle: per-shard unsharded fused block against the frozen padded
+    # table, vbeta from the true V; deltas committed once at block end
+    z0 = np.asarray(state.z)
+    ndk0 = np.asarray(state.n_dk)
+    nvk0 = np.asarray(full_table(state))  # (Vp, K)
+    nk0 = np.asarray(state.n_k)
+    tvt, tft, li, lvt = (np.asarray(c) for c in corpus)
+    Dp = z0.shape[1]
+    ds = Dp // S
+    z1 = np.empty_like(z0)
+    ndk1 = np.empty_like(ndk0)
+    delta = np.zeros_like(nvk0)
+    for s in range(S):
+        sl = slice(s * ds, (s + 1) * ds)
+        st = FusedLDAState(
+            z=jnp.asarray(z0[:, sl]), n_dk=jnp.asarray(ndk0[:, sl]),
+            n_vk=jnp.asarray(nvk0), n_k=jnp.asarray(nk0))
+        st2 = fused_train_block(
+            jax.random.fold_in(key, s), st, jnp.asarray(tvt[:, sl]),
+            jnp.asarray(tft[:, sl]), jnp.asarray(li[sl]),
+            jnp.asarray(lvt[:, sl]), 0.1, beta, M, vbeta=V * beta)
+        z1[:, sl] = np.asarray(st2.z)
+        ndk1[:, sl] = np.asarray(st2.n_dk)
+        delta += np.asarray(st2.n_vk) - nvk0
+
+    np.testing.assert_array_equal(np.asarray(out.z), z1)
+    np.testing.assert_array_equal(np.asarray(out.n_dk), ndk1)
+    np.testing.assert_allclose(np.asarray(full_table(out)), nvk0 + delta,
+                               atol=1e-4)
+
+
 def test_learns_structure(setup):
     """Sharded-table training concentrates words on co-occurring labels."""
     mesh, state, corpus, total = setup
-    block = make_vocab_sharded_block(mesh, alpha=0.1, beta=0.01, M=2)
+    block = make_vocab_sharded_block(mesh, alpha=0.1, beta=0.01, M=2, V=V)
     for i in range(10):
         state = block(jax.random.PRNGKey(i), state, *corpus)
     n_vk = np.asarray(full_table(state))
