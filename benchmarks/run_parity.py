@@ -108,6 +108,65 @@ def run_llda_vi(depth: int, it: int, seed: int, test_iters: int = 100,
     })
 
 
+def run_llda_chains(depth: int, it: int, s: int, seed: int,
+                    n_chains: int = 8) -> None:
+    """Multi-chain real-corpus record (round-4 VERDICT item 1b): train
+    ``n_chains`` independent chains through the distributed fused trainer
+    on one chip, fold the test set in against the POOLED φ̂ and against
+    each chain's own φ̂.  The north-star clause "≥8x samples/s at matched
+    AUC" has its 1-chip proxy when pooled AUC ≥ the single-chain level."""
+    from lda_thesis_tpu.data.corpus import load_corpus, split_data
+    from lda_thesis_tpu.data.vocab import prune_dict
+    from lda_thesis_tpu.eval.metrics import binary_yreal, evaluate_ranking
+    from lda_thesis_tpu.parallel import make_mesh
+    from lda_thesis_tpu.parallel.trainer import DistributedLabeledLDA
+
+    t0 = time.time()
+    corpus = load_corpus(DATA, d=depth, mode="truncate")
+    train, test = split_data(corpus, seed=seed)
+    dicti = prune_dict(train.docs, lower=0, upper=1)
+    mesh = make_mesh(n_data=1, n_chains=1)
+    model = DistributedLabeledLDA(
+        train.docs, train.labs, list(train.labelset), dicti,
+        alpha=0.1, beta=0.01, mesh=mesh, n_chains=n_chains, seed=seed)
+    # chunked training through the chunk-invariant RNG/merge-block design
+    # (parallel/trainer.py): bit-identical to one uninterrupted call, but
+    # each dispatch compiles a bounded program — the tunnelled backend's
+    # compiler crashes on the monolithic 2000-sweep scan
+    chunk = s * max(1, min(200, it) // s)
+    done = 0
+    while done < it:
+        step = min(chunk, it - done)
+        model.run_training(step, s, total_iters=it)
+        done += step
+    import jax as _jax
+
+    _jax.block_until_ready(model.state.ph_hat)
+    t_train = time.time() - t0
+
+    y_bin = binary_yreal(test.labs, model.labelmap)[:, 1:]
+
+    def auc_for(chain):
+        th = np.asarray(model.run_test(test.docs, it, s, chain=chain))[:, 1:]
+        nonzero = np.where(th.sum(axis=1) != 0)[0]
+        return evaluate_ranking(th[nonzero], y_bin[nonzero])
+
+    m = auc_for(None)
+    t_all = time.time() - t0
+    per_chain = [round(auc_for(c)["auc_roc"], 4) for c in range(n_chains)]
+    record({
+        "model": "llda-chains", "depth": depth, "it": it, "thinning": s,
+        "seed": seed, "n_chains": n_chains, "sweep": model.sweep,
+        "auc_pooled": round(m["auc_roc"], 4),
+        "auc_per_chain": per_chain,
+        "auc_chain_mean": round(float(np.mean(per_chain)), 4),
+        "one_hit": round(m["one_hit"], 4), "two_hit": round(m["two_hit"], 4),
+        "f1": round(m["f1_macro"], 4),
+        "mc_error_phi": round(model.mc_error(), 6),
+        "train_s": round(t_train, 1), "wall_s": round(t_all, 1),
+    })
+
+
 def run_cascade(it: int, s: int, seed: int, sweep: str = "dense",
                 threshold: float = 0.95, root_it=None, root_s=None,
                 test_it=None, test_s=None) -> None:
@@ -154,8 +213,10 @@ def run_cascade(it: int, s: int, seed: int, sweep: str = "dense",
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--model",
-                    choices=("llda", "llda-vi", "llda-svi", "cascade"),
+                    choices=("llda", "llda-vi", "llda-svi", "llda-chains",
+                             "cascade"),
                     required=True)
+    ap.add_argument("--n-chains", type=int, default=8)
     ap.add_argument("--depth", type=int, default=3)
     ap.add_argument("--it", type=int, required=True)
     ap.add_argument("--s", type=int, required=True)
@@ -168,6 +229,9 @@ def main() -> None:
     args = ap.parse_args()
     if args.model == "llda":
         run_llda(args.depth, args.it, args.s, args.seed)
+    elif args.model == "llda-chains":
+        run_llda_chains(args.depth, args.it, args.s, args.seed,
+                        n_chains=args.n_chains)
     elif args.model in ("llda-vi", "llda-svi"):
         run_llda_vi(args.depth, args.it, args.seed,
                     test_iters=args.test_it or 100,

@@ -188,11 +188,19 @@ class DistributedLabeledLDA:
 
     # ----------------------------------------------------------------- test
 
-    def run_test(self, newdocs, it: int, thinning: int) -> np.ndarray:
-        """Fold-in θ̂ against the pooled φ̂ (single-chip test kernel)."""
+    def run_test(self, newdocs, it: int, thinning: int,
+                 chain: Optional[int] = None) -> np.ndarray:
+        """Fold-in θ̂ against the pooled φ̂ (single-chip test kernel).
+
+        ``chain`` — fold in against a single chain's φ̂ instead of the pool
+        (per-chain quality diagnostics: the pooled estimate should match or
+        beat any individual chain's AUC)."""
         bows = [self.dicti.doc2bow(doc) for doc in newdocs]
         tok_v, tok_f = encode_bow_types(bows)
-        phi_vk = self.state.ph_hat.mean(axis=0)  # (V, Kp)
+        if chain is None:
+            phi_vk = self.state.ph_hat.mean(axis=0)  # (V, Kp)
+        else:
+            phi_vk = self.state.ph_hat[int(chain)]
         self._key, k = jax.random.split(self._key)
         avg, _ = _test_loop(
             k, jnp.asarray(tok_v), jnp.asarray(tok_f), phi_vk, self.topic_mask,
