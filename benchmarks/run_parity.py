@@ -221,7 +221,7 @@ def main() -> None:
     ap.add_argument("--it", type=int, required=True)
     ap.add_argument("--s", type=int, required=True)
     ap.add_argument("--seed", type=int, default=42)
-    ap.add_argument("--sweep", default="dense")
+    ap.add_argument("--sweep", default="auto")
     ap.add_argument("--root-it", type=int, default=None)
     ap.add_argument("--root-s", type=int, default=None)
     ap.add_argument("--test-it", type=int, default=None)

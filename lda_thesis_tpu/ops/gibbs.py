@@ -118,11 +118,16 @@ def train_sweep(
     labs: jax.Array,
     alpha: float,
     beta: float,
+    vbeta: float = None,
 ) -> LDACounts:
     """One full collapsed-Gibbs sweep over all (doc, type) slots.
 
     Posterior per slot (reference LabeledLDA.py:113-117):
         p(z=k) ∝ labs_k · (n_dk + α) · (n_vk[v] + β) / (n_k + V·β)
+
+    ``vbeta`` — the denominator constant V·β; defaults to the table's own
+    row count × β.  Callers whose table pads the vocab axis (stable-shape
+    bucketing) must pass the true V·β.
 
     TPU-tuned formulation (chosen by benchmarks/micro_sweep_variants.py on a
     v5e chip — 12.4M tokens/s vs 10.0M for log-domain Gumbel-max and 6-8M for
@@ -143,7 +148,7 @@ def train_sweep(
     D, U = tok_v.shape
     K = counts.n_dk.shape[1]
     V = counts.n_vk.shape[0]
-    vbeta = jnp.float32(V * beta)
+    vbeta = jnp.float32(V * beta if vbeta is None else vbeta)
     tri = jnp.triu(jnp.ones((K, K), jnp.float32))  # inclusive-cumsum operator
     fF = tok_f.astype(jnp.float32)
     use_pallas = pallas_supported()
@@ -465,6 +470,7 @@ def train_sweep_compact(
     lab_valid: jax.Array,
     alpha: float,
     beta: float,
+    vbeta: float = None,
 ) -> CompactLDACounts:
     """One collapsed-Gibbs sweep on the compact support (exact sampler).
 
@@ -480,7 +486,7 @@ def train_sweep_compact(
     A = lab_ids.shape[1]
     K = counts.n_vk.shape[1]
     V = counts.n_vk.shape[0]
-    vbeta = jnp.float32(V * beta)
+    vbeta = jnp.float32(V * beta if vbeta is None else vbeta)
     tri = jnp.triu(jnp.ones((A, A), jnp.float32))
     uniforms = jax.random.uniform(key, (U, D), dtype=jnp.float32)
     fF = tok_f.astype(jnp.float32)

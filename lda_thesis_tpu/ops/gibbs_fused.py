@@ -150,7 +150,7 @@ def _scatter_deltas(n_vk, tok_v_t, tok_f_t, lab_ids, z0, z1):
 
 @functools.lru_cache(maxsize=None)
 def _build_block_kernel(M: int, U: int, A: int, D: int,
-                        alpha: float, beta: float, vbeta: float):
+                        alpha: float, beta: float):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -180,8 +180,10 @@ def _build_block_kernel(M: int, U: int, A: int, D: int,
         ndk_m = ndk_ref[:] - oh_old
         cv_eff = cv_ref[0] - oh_start
         nk_eff = nkg_ref[:] - oh_start
+        # nkg arrives pre-biased by V*beta (a traced value — baking it
+        # into the kernel would recompile per corpus split)
         w = valid_ref[:] * (ndk_m + alpha) * (cv_eff + beta) * (
-            1.0 / (nk_eff + vbeta))
+            1.0 / nk_eff)
         c = jnp.dot(tril_ref[:], w, preferred_element_type=jnp.float32)
         r = u_ref[0] * c[A - 1 : A, :]
         z_new = jnp.sum((c < r).astype(jnp.int32), axis=0, keepdims=True)
@@ -234,9 +236,10 @@ def _build_block_kernel(M: int, U: int, A: int, D: int,
 
 
 def fused_block_xla(cv_all, tok_f_t, uniforms, z0, nkg, valid, ndk0, tril,
-                    alpha: float, beta: float, vbeta: float, M: int):
+                    alpha: float, beta: float, M: int):
     """XLA twin of the whole-block kernel — identical op order, bitwise-equal
-    given the same uniforms.  ``uniforms (M, U, D)``."""
+    given the same uniforms.  ``uniforms (M, U, D)``; ``nkg`` pre-biased by
+    V*beta exactly as the kernel input is."""
     U, D = z0.shape
     A = ndk0.shape[0]
     a_ids = jax.lax.broadcasted_iota(jnp.int32, (A, D), 0)
@@ -255,7 +258,7 @@ def fused_block_xla(cv_all, tok_f_t, uniforms, z0, nkg, valid, ndk0, tril,
             cv_eff = cv - oh_start
             nk_eff = nkg - oh_start
             w = valid * (ndk_m + alpha) * (cv_eff + beta) * (
-                1.0 / (nk_eff + vbeta))
+                1.0 / nk_eff)
             c = jnp.dot(tril, w, preferred_element_type=jnp.float32)
             r = uu[None, :] * c[A - 1 : A, :]
             z_new = jnp.sum((c < r).astype(jnp.int32), axis=0, keepdims=True)
@@ -294,15 +297,19 @@ def fused_train_block(
     U, D = tok_v_t.shape
     A = lab_ids.shape[1]
     V, K = state.n_vk.shape
-    vbeta = float(V * beta) if vbeta is None else float(vbeta)
+    if vbeta is None:
+        vbeta = float(V * beta)
+    vbeta = jnp.asarray(vbeta, jnp.float32)  # traced: no per-split recompile
     tril = jnp.tril(jnp.ones((A, A), jnp.float32))
 
     cv_all = gather_cv(state.n_vk, tok_v_t, lab_ids)
-    nkg = state.n_k[lab_ids].T  # (A, D) frozen block-start totals
+    # (A, D) frozen block-start totals, pre-biased by V*beta — the kernel
+    # and its XLA twin divide by (nkg - own_token) directly
+    nkg = state.n_k[lab_ids].T + vbeta
     uniforms = jax.random.uniform(key, (M, U, D), dtype=jnp.float32)
 
     if fused_pallas_supported():
-        call = _build_block_kernel(M, U, A, D, float(alpha), float(beta), vbeta)
+        call = _build_block_kernel(M, U, A, D, float(alpha), float(beta))
         z_out, ndk = call(
             cv_all,
             tok_f_t.reshape(U, 1, D),
@@ -317,7 +324,7 @@ def fused_train_block(
     else:
         z1, ndk = fused_block_xla(
             cv_all, tok_f_t, uniforms, state.z, nkg, lab_valid_t,
-            state.n_dk, tril, alpha, beta, vbeta, M,
+            state.n_dk, tril, alpha, beta, M,
         )
 
     n_vk, n_k = _scatter_deltas(

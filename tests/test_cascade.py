@@ -148,3 +148,24 @@ def test_root_level_schedule():
     th = m.run_test(docs[:2], it=4, thinning=2, depth=1)
     assert th.shape[0] == 2
     assert np.isfinite(th).all()
+
+
+def test_fused_sweep_trains_and_predicts():
+    """Opt-in fused sweep (whole-sweep merge-block kernel per level): trains
+    the full tree, keeps branch topics disjoint, and predicts the right
+    branch — exercises models/cascade_lda._level_train_loop_fused through
+    the XLA twin on CPU."""
+    docs, labs, labelset, dicti = _toy_corpus()
+    m = CascadeLDA(docs, labs, labelset, dicti, alpha=0.1, beta=0.01,
+                   seed=0, sweep="fused")
+    m.go_down_tree(it=20, s=5)
+    # masked factorisation holds on the fused path too
+    a_words = {w for d in docs[:4] for w in d}
+    b_cols = [dicti.token2id[w] for w in {w for d in docs[4:] for w in d}
+              if w not in a_words]
+    for lab in ("A1", "A11", "A2"):
+        assert m.ph[m.labelmap[lab], b_cols].sum() == 0
+    l1, _, _ = m.test_down_tree("cat dog pet animal".split(), it=30,
+                                thinning=5)
+    top = max(l1, key=lambda t: t[1])[0]
+    assert top == "A"
