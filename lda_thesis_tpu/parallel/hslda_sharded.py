@@ -34,7 +34,7 @@ from ..ops.hslda_gibbs import HSLDACounts, hslda_init_counts, hslda_z_sweep
 from ..ops.sampling import gumbel_argmax, truncated_normal
 
 __all__ = ["HSLDAShardedState", "init_hslda_sharded", "make_hslda_train_step",
-           "pooled_ph"]
+           "make_hslda_train_loop", "pooled_ph"]
 
 
 class HSLDAShardedState(NamedTuple):
@@ -133,12 +133,18 @@ def init_hslda_sharded(
     return HSLDAShardedState(*jax.jit(_init)(key, tok_v, mask, labs))
 
 
-def make_hslda_train_step(
-    mesh: Mesh, n_chains: int, stirling_logs, D_total: int,
-    alpha: float = 1.0, aprime: float = 1.0, gamma: float = 1.0,
-    mu: float = 0.0, sigma: float = 1.0, xi: float = 0.0, opt: int = 1,
+def _build_cycle(
+    mesh: Mesh, n_chains: int, D_total: int,
+    alpha: float, aprime: float, gamma: float,
+    mu: float, sigma: float, xi: float, opt: int,
 ):
-    """Build the jitted full sharded blocked-Gibbs cycle."""
+    """The UNJITTED shard_map'd blocked-Gibbs cycle (z → η → a → m → β).
+
+    Callers wrap it: :func:`make_hslda_train_step` jits one cycle (the
+    round-3 API); :func:`make_hslda_train_loop` scans it inside a single
+    whole-run jit — one dispatch per ``run_training`` call, the same
+    structure as parallel/fused_sharded.make_fused_train_loop (a nested
+    jit boundary per cycle costs ~0.4 s on the tunnelled backend)."""
     local_chains = n_chains // mesh.shape["chains"]
     sp = _specs(mesh)
     state_specs = (sp["z"], sp["n_dk"], sp["n_vk"], sp["n_k"], sp["eta"],
@@ -213,12 +219,87 @@ def make_hslda_train_step(
         n_k = n_k + jax.lax.psum(d_k, "data")
         return z, n_dk, n_vk, n_k, eta, a, beta
 
+    return _step
+
+
+def make_hslda_train_step(
+    mesh: Mesh, n_chains: int, stirling_logs, D_total: int,
+    alpha: float = 1.0, aprime: float = 1.0, gamma: float = 1.0,
+    mu: float = 0.0, sigma: float = 1.0, xi: float = 0.0, opt: int = 1,
+):
+    """Build the jitted full sharded blocked-Gibbs cycle (one dispatch per
+    cycle — prefer :func:`make_hslda_train_loop` for multi-cycle runs)."""
+    _step = _build_cycle(mesh, n_chains, D_total, alpha, aprime, gamma,
+                         mu, sigma, xi, opt)
+
     def step(key, state: HSLDAShardedState, tok_v, mask, labs) -> HSLDAShardedState:
         return HSLDAShardedState(
             *_step(key, *state, tok_v, mask, labs, stirling_logs)
         )
 
     return jax.jit(step)
+
+
+def make_hslda_train_loop(
+    mesh: Mesh, n_chains: int, stirling_logs, D_total: int,
+    alpha: float = 1.0, aprime: float = 1.0, gamma: float = 1.0,
+    mu: float = 0.0, sigma: float = 1.0, xi: float = 0.0, opt: int = 1,
+):
+    """Whole-run jitted multi-cycle trainer: ``lax.scan`` over save blocks
+    of blocked-Gibbs cycles with the thinned per-chain φ̂ running mean
+    updated on block boundaries — ONE dispatch per ``run_training`` call
+    (HSLDA.py:312-333 semantics; round-4 VERDICT item 3).
+
+    Returns ``loop(key, state, tok_v, mask, labs, ph_hat, n_saves, start,
+    iters, thinning)`` → ``(state, ph_hat (C, K, V), n_saves)``;
+    iters/thinning static, ``start`` = cycles already done (chunk-invariant
+    RNG).  ``ph_hat``/``n_saves`` thread through chunked calls so a
+    checkpointed run keeps one continuous running mean."""
+    _step = _build_cycle(mesh, n_chains, D_total, alpha, aprime, gamma,
+                         mu, sigma, xi, opt)
+
+    @partial(jax.jit, static_argnames=("iters", "thinning"))
+    def loop(key, state: HSLDAShardedState, tok_v, mask, labs,
+             ph_hat, n_saves, start, iters: int, thinning: int):
+        # chunk-invariant stream: cycle i of the run draws from
+        # fold_in(master, start + i), so a checkpointed/resumed run is
+        # bit-identical to an uninterrupted one (same scheme as
+        # fused_sharded.make_fused_train_loop)
+        n_blocks = iters // thinning
+        rem = iters - n_blocks * thinning
+        keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
+            start + jnp.arange(max(iters, 1), dtype=jnp.int32))
+
+        def one_cycle(st, k):
+            return HSLDAShardedState(
+                *_step(k, *st, tok_v, mask, labs, stirling_logs)
+            ), None
+
+        def chain_ph(st):
+            n_kv = st.n_vk.astype(jnp.float32).transpose(0, 2, 1)  # (C, K, V)
+            return n_kv / jnp.maximum(n_kv.sum(axis=2, keepdims=True), 1.0)
+
+        def save_block(carry, block_keys):
+            st, ph, s = carry
+            st, _ = jax.lax.scan(one_cycle, st, block_keys)
+            s = s + 1
+            f = s.astype(jnp.float32)
+            cur = chain_ph(st)
+            ph = jnp.where(f <= 1.0, cur, (f - 1.0) / f * ph + cur / f)
+            return (st, ph, s), None
+
+        carry = (state, ph_hat, n_saves)
+        if n_blocks:
+            carry, _ = jax.lax.scan(
+                save_block, carry,
+                keys[: n_blocks * thinning].reshape(n_blocks, thinning, 2))
+        state, ph_hat, n_saves = carry
+        if rem:
+            state, _ = jax.lax.scan(one_cycle, state,
+                                    keys[n_blocks * thinning : iters])
+        return state, ph_hat, n_saves
+
+    return loop
 
 
 def pooled_ph(state: HSLDAShardedState, gamma: float) -> jax.Array:

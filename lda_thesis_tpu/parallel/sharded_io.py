@@ -150,6 +150,10 @@ def save_hslda_sharded(path: str, model, iters_done: int = 0) -> None:
         "a": np.asarray(st.a),
         "beta_vec": np.asarray(st.beta),
         "rng_key": np.asarray(model._key),
+        # the chunk-invariant cycle stream derives from this key + the
+        # global cycle counter — persist both so a resume continues the
+        # original stream bit-identically
+        "master_key": np.asarray(model._master_key),
     }
     if model._ph_hat is not None:
         arrays["ph_hat"] = np.asarray(model._ph_hat)
@@ -162,6 +166,7 @@ def save_hslda_sharded(path: str, model, iters_done: int = 0) -> None:
         "D": int(model.D),
         "n_saves": int(model._n_saves),
         "iters_done": int(iters_done),
+        "cycles_done": int(model._cycles_done),
     }
     save_checkpoint(path, arrays, meta)
 
@@ -207,7 +212,12 @@ def restore_hslda_sharded(path: str, model) -> Dict[str, Any]:
         np.asarray(arrays["ph_hat"]) if "ph_hat" in arrays else None
     )
     model._n_saves = int(meta.get("n_saves", 0))
+    model._cycles_done = int(meta.get("cycles_done", meta.get("iters_done", 0)))
     model._key = jax.device_put(
         jnp.asarray(arrays["rng_key"]), NamedSharding(model.mesh, P())
     )
+    if "master_key" in arrays:
+        model._master_key = jax.device_put(
+            jnp.asarray(arrays["master_key"]), NamedSharding(model.mesh, P())
+        )
     return meta
