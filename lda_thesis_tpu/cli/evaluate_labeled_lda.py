@@ -59,6 +59,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="independent Gibbs chains (distributed trainer)")
     p.add_argument("--n-data", type=int, default=1,
                    help="document shards over the data mesh axis")
+    p.add_argument("--table-shard", choices=("replicated", "vocab"),
+                   default="replicated",
+                   help="vocab: shard the topic-word table's V axis over "
+                        "the data mesh (per-device state ~V*K/S; large "
+                        "vocabularies). Requires --n-data > 1, single chain")
     return p
 
 
@@ -88,6 +93,9 @@ def _train_gibbs(cfg: RunConfig, opt, train):
     g = cfg.gibbs
     dicti = prune_dict(train.docs, lower=cfg.lower, upper=cfg.upper)
 
+    table_shard = getattr(opt, "table_shard", "replicated")
+    if table_shard == "vocab" and cfg.n_data_shards < 2:
+        raise SystemExit("--table-shard vocab requires --n-data > 1")
     if cfg.n_chains > 1 or cfg.n_data_shards > 1:
         import jax
 
@@ -110,7 +118,7 @@ def _train_gibbs(cfg: RunConfig, opt, train):
         model = DistributedLabeledLDA(
             train.docs, train.labs, list(train.labelset), dicti,
             alpha=g.alpha, beta=g.beta, mesh=mesh, n_chains=cfg.n_chains,
-            seed=g.seed, sweep=opt.sweep,
+            seed=g.seed, sweep=opt.sweep, table_shard=table_shard,
         )
 
         save_every = opt.save_every or g.iters

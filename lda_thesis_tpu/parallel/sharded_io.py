@@ -40,6 +40,7 @@ def save_sharded(path: str, model, iters_done: int = 0) -> None:
         arrays["master_key"] = np.asarray(model._master_key)
     meta = {
         "kind": "DistributedLabeledLDA",
+        "table_shard": getattr(model, "table_shard", "replicated"),
         "sweep": getattr(model, "sweep", "dense"),
         "n_chains": int(model.n_chains),
         "K": int(model.K),
@@ -84,6 +85,12 @@ def restore_sharded(path: str, model) -> Dict[str, Any]:
             f"{getattr(model, 'sweep', 'dense')!r} (construct with "
             f"sweep={layout!r})"
         )
+    table_shard = meta.get("table_shard", "replicated")
+    if table_shard != getattr(model, "table_shard", "replicated"):
+        raise ValueError(
+            f"checkpoint table_shard is {table_shard!r}, model is "
+            f"{getattr(model, 'table_shard', 'replicated')!r}"
+        )
 
     # explicit mesh shardings (the freshly initialised model's ph_hat/th_hat
     # are plain single-device zeros until the first step runs — their
@@ -93,7 +100,19 @@ def restore_sharded(path: str, model) -> Dict[str, Any]:
             jnp.asarray(arrays[name]), NamedSharding(model.mesh, spec)
         )
 
-    if layout == "fused":
+    if table_shard == "vocab":
+        from .vocab_sharded import VocabShardedTrainState
+
+        model.state = VocabShardedTrainState(
+            z=put("z", P(None, "data")),
+            n_dk=put("n_dk", P(None, "data")),
+            n_vk=put("n_vk", P("data", None)),
+            n_k=put("n_k", P()),
+            ph_hat=put("ph_hat", P("data", None)),
+            th_hat=put("th_hat", P("data", None)),
+            s=put("s", P()),
+        )
+    elif layout == "fused":
         from .fused_sharded import FusedShardedState
 
         model.state = FusedShardedState(

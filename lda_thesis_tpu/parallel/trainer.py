@@ -64,6 +64,7 @@ class DistributedLabeledLDA:
         k_pad: int = 128,
         sweep: str = "auto",
         merge_every: int = 5,
+        table_shard: str = "replicated",
     ):
         self.alpha = float(alpha)
         self.beta = float(beta)
@@ -97,8 +98,41 @@ class DistributedLabeledLDA:
         self.sweep = sweep
         self.merge_every = max(int(merge_every), 1)
 
+        # table_shard="vocab": shard the topic-word table's V axis over the
+        # data mesh axis (parallel/vocab_sharded.py) — per-device persistent
+        # state drops S-fold for large V·K.  Single chain (the chains axis
+        # replicates the table, which is what this mode exists to avoid).
+        if table_shard not in ("replicated", "vocab"):
+            raise ValueError(f"unknown table_shard {table_shard!r}")
+        self.table_shard = table_shard
+
         self._key = jax.random.PRNGKey(seed)
         self._key, k0 = jax.random.split(self._key)
+        if table_shard == "vocab":
+            if sweep not in ("auto", "fused"):
+                raise ValueError("table_shard='vocab' uses the fused sampler")
+            if self.n_chains != 1 or self.mesh.shape["chains"] != 1:
+                raise ValueError("table_shard='vocab' supports n_chains=1 "
+                                 "(chains replicate the table)")
+            from .vocab_sharded import (
+                init_vocab_sharded_train,
+                shard_vocab_corpus,
+            )
+
+            self.sweep = "fused"
+            lab_ids, lab_valid = compact_labels(lab_mask)
+            self.A = lab_ids.shape[1]
+            (self._tok_v_t, self._tok_f_t, self._lab_ids,
+             self._lab_valid_t) = shard_vocab_corpus(
+                self.mesh, tok_v.T, tok_f.T.astype(np.float32), lab_ids,
+                lab_valid.T)
+            self.state = init_vocab_sharded_train(
+                k0, self.mesh, tok_v, tok_f, lab_ids, lab_valid,
+                self.V, self.Kp)
+            self._loop = None
+            self._master_key = jax.random.fold_in(self._key, 0x5eed)
+            self._sweeps_done = 0
+            return
         if sweep == "fused":
             lab_ids, lab_valid = compact_labels(lab_mask)
             self.A = lab_ids.shape[1]
@@ -140,6 +174,26 @@ class DistributedLabeledLDA:
         matches the uninterrupted run's and resume stays bit-identical.
         """
         iters, thinning = int(iters), int(thinning)
+        if self.table_shard == "vocab":
+            from ..ops.gibbs_fused import select_merge_block
+            from .vocab_sharded import make_vocab_sharded_train_loop
+
+            if self._loop is None:
+                self._loop = make_vocab_sharded_train_loop(
+                    self.mesh, self.alpha, self.beta, self.V, self.Kp,
+                    topic_mask=self.topic_mask,
+                    corpus=(self._tok_v_t, self._tok_f_t, self._lab_ids,
+                            self._lab_valid_t),
+                )
+            budget = int(total_iters) if total_iters else iters
+            M = select_merge_block(self.merge_every, thinning, budget)
+            self.state = self._loop(
+                self._master_key, self.state,
+                jnp.int32(self._sweeps_done),
+                iters=iters, thinning=thinning, M=M,
+            )
+            self._sweeps_done += iters
+            return
         if self.sweep == "fused":
             if self._loop is None:
                 self._loop = make_fused_train_loop(
@@ -171,6 +225,10 @@ class DistributedLabeledLDA:
 
     def pooled_phi(self) -> np.ndarray:
         """(K, V) chain-pooled thinned φ̂ (reference orientation)."""
+        if self.table_shard == "vocab":
+            # gather-on-export: the only time the full table leaves shards
+            ph = np.asarray(self.state.ph_hat)[: self.V]  # (V, Kp)
+            return ph[:, : self.K].T
         ph = np.asarray(self.state.ph_hat.mean(axis=0))  # (V, Kp)
         return ph[:, : self.K].T
 
@@ -179,11 +237,15 @@ class DistributedLabeledLDA:
 
     def chain_phis(self) -> np.ndarray:
         """(C, K, V) per-chain thinned φ̂ — Monte-Carlo error diagnostics."""
+        if self.table_shard == "vocab":
+            return self.pooled_phi()[None]  # single chain
         ph = np.asarray(self.state.ph_hat)  # (C, V, Kp)
         return ph[:, :, : self.K].transpose(0, 2, 1)
 
     def mc_error(self) -> float:
         """Across-chain standard deviation of φ̂, averaged over entries."""
+        if self.table_shard == "vocab":
+            return 0.0  # single chain — no across-chain spread
         return float(np.asarray(self.state.ph_hat[:, :, : self.K]).std(axis=0).mean())
 
     # ----------------------------------------------------------------- test
@@ -197,7 +259,9 @@ class DistributedLabeledLDA:
         beat any individual chain's AUC)."""
         bows = [self.dicti.doc2bow(doc) for doc in newdocs]
         tok_v, tok_f = encode_bow_types(bows)
-        if chain is None:
+        if self.table_shard == "vocab":
+            phi_vk = jnp.asarray(np.asarray(self.state.ph_hat)[: self.V])
+        elif chain is None:
             phi_vk = self.state.ph_hat.mean(axis=0)  # (V, Kp)
         else:
             phi_vk = self.state.ph_hat[int(chain)]

@@ -36,13 +36,17 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ._util import pad_axis_to as _pad_to
+from ..models.state import running_average
 from ..ops.gibbs_fused import (
     FusedLDAState,
     fused_train_block,
+    theta_from_fused,
 )
 
-__all__ = ["VocabShardedState", "shard_vocab_corpus", "init_vocab_sharded",
-           "make_vocab_sharded_block", "full_table"]
+__all__ = ["VocabShardedState", "VocabShardedTrainState",
+           "shard_vocab_corpus", "init_vocab_sharded",
+           "init_vocab_sharded_train", "make_vocab_sharded_block",
+           "make_vocab_sharded_train_loop", "full_table"]
 
 
 class VocabShardedState(NamedTuple):
@@ -98,23 +102,8 @@ def init_vocab_sharded(
     )
 
 
-def make_vocab_sharded_block(mesh: Mesh, alpha: float, beta: float, M: int,
-                             V: int = None):
-    """Jitted merge block: all_gather table → M local fused sweeps →
-    psum_scatter the vocab-axis deltas back to their owner shards.
-
-    ``V`` — the TRUE (unpadded) vocabulary size.  The sharded table pads its
-    vocab axis to ``Vp = ceil(V/S)*S``; the sampler's denominator smoothing
-    constant must still be ``V*beta`` (LabeledLDA.py:116), so it is threaded
-    through explicitly rather than derived from the padded table shape.
-    Required — draw-for-draw parity with the unsharded fused sampler
-    (tests/test_vocab_sharded.py::test_matches_unsharded_fused) breaks
-    whenever ``V % S != 0`` otherwise.
-    """
-    if V is None:
-        raise TypeError(
-            "make_vocab_sharded_block requires the true vocab size V: the "
-            "sharded table is padded, and V*beta must use the unpadded V")
+def _build_vblock(mesh: Mesh, alpha: float, beta: float, M: int, V: int):
+    """The UNJITTED shard_map'd merge block (see make_vocab_sharded_block)."""
     vbeta = float(V) * float(beta)
 
     @partial(
@@ -154,6 +143,28 @@ def make_vocab_sharded_block(mesh: Mesh, alpha: float, beta: float, M: int,
         n_k = n_k + jax.lax.psum(delta.sum(axis=0), "data")
         return st.z, st.n_dk, n_vk_local, n_k
 
+    return _block
+
+
+def make_vocab_sharded_block(mesh: Mesh, alpha: float, beta: float, M: int,
+                             V: int = None):
+    """Jitted merge block: all_gather table → M local fused sweeps →
+    psum_scatter the vocab-axis deltas back to their owner shards.
+
+    ``V`` — the TRUE (unpadded) vocabulary size.  The sharded table pads its
+    vocab axis to ``Vp = ceil(V/S)*S``; the sampler's denominator smoothing
+    constant must still be ``V*beta`` (LabeledLDA.py:116), so it is threaded
+    through explicitly rather than derived from the padded table shape.
+    Required — draw-for-draw parity with the unsharded fused sampler
+    (tests/test_vocab_sharded.py::test_matches_unsharded_fused) breaks
+    whenever ``V % S != 0`` otherwise.
+    """
+    if V is None:
+        raise TypeError(
+            "make_vocab_sharded_block requires the true vocab size V: the "
+            "sharded table is padded, and V*beta must use the unpadded V")
+    _block = _build_vblock(mesh, alpha, beta, M, V)
+
     def block(key, state: VocabShardedState, tok_v_t, tok_f_t, lab_ids,
               lab_valid_t) -> VocabShardedState:
         return VocabShardedState(
@@ -161,6 +172,107 @@ def make_vocab_sharded_block(mesh: Mesh, alpha: float, beta: float, M: int,
         )
 
     return jax.jit(block)
+
+
+class VocabShardedTrainState(NamedTuple):
+    """:class:`VocabShardedState` + the thinned posterior running means —
+    everything a training run checkpoints, with NO replicated V-axis array:
+    ``ph_hat (Vp, K)`` is vocab-sharded exactly like the table, ``th_hat
+    (Dp, K)`` doc-sharded, so per-device persistent memory stays ~V·K/S."""
+
+    z: jax.Array  # (U, D) doc-sharded
+    n_dk: jax.Array  # (A, D) doc-sharded
+    n_vk: jax.Array  # (Vp, K) vocab-sharded
+    n_k: jax.Array  # (K,) replicated
+    ph_hat: jax.Array  # (Vp, K) vocab-sharded thinned mean
+    th_hat: jax.Array  # (Dp, K) doc-sharded thinned mean
+    s: jax.Array  # () int32 save counter
+
+
+def init_vocab_sharded_train(
+    key, mesh: Mesh, tok_v, tok_f, lab_ids_np, lab_valid_np, V: int, K: int
+) -> VocabShardedTrainState:
+    """:func:`init_vocab_sharded` + zeroed sharded running means."""
+    base = init_vocab_sharded(key, mesh, tok_v, tok_f, lab_ids_np,
+                              lab_valid_np, V, K)
+    Vp = base.n_vk.shape[0]
+    Dp = base.z.shape[1]
+    return VocabShardedTrainState(
+        z=base.z, n_dk=base.n_dk, n_vk=base.n_vk, n_k=base.n_k,
+        ph_hat=jax.device_put(np.zeros((Vp, K), np.float32),
+                              NamedSharding(mesh, P("data", None))),
+        th_hat=jax.device_put(np.zeros((Dp, K), np.float32),
+                              NamedSharding(mesh, P("data", None))),
+        s=jnp.int32(0),
+    )
+
+
+def make_vocab_sharded_train_loop(
+    mesh: Mesh, alpha: float, beta: float, V: int, K: int, topic_mask,
+    corpus,
+):
+    """Whole-run jitted vocab-sharded trainer: ``lax.scan`` over save blocks
+    of merge blocks with thinned φ̂/θ̂ running means updated on save
+    boundaries (reference rule, LabeledLDA.py:131-145) — one dispatch per
+    ``run_training`` call, the same structure as
+    fused_sharded.make_fused_train_loop, with every V-sized array sharded.
+
+    The save-time estimators are shard-local: φ̂ rows are owned by the
+    shard that owns the table rows ((n_vk+β)/(n_k+V·β), n_k replicated, the
+    true V·β — no gather), θ̂ by the shard that owns the documents.
+
+    Returns ``loop(key, state, start, iters, thinning, M)``; block keys are
+    ``fold_in(key, start + sweep_offset)`` — chunk-invariant resume."""
+    tvt, tft, li, lvt = corpus
+    vbeta = float(V) * float(beta)
+
+    @partial(jax.jit, static_argnames=("iters", "thinning", "M"))
+    def loop(key, state: VocabShardedTrainState, start, iters: int,
+             thinning: int, M: int):
+        _block = _build_vblock(mesh, alpha, beta, M, V)
+        n_save = iters // thinning
+        bps = thinning // M
+        rem = iters - n_save * thinning
+        n_rem = (rem + M - 1) // M
+        offs = start + jnp.arange(max(n_save * bps + n_rem, 1),
+                                  dtype=jnp.int32) * M
+
+        def one_block(carry, off):
+            z, n_dk, n_vk, n_k = carry
+            k = jax.random.fold_in(key, off)
+            return tuple(_block(k, z, n_dk, n_vk, n_k, tvt, tft, li, lvt)), None
+
+        def save_block(carry, block_offs):
+            (z, n_dk, n_vk, n_k), ph_hat, th_hat, s = carry
+            (z, n_dk, n_vk, n_k), _ = jax.lax.scan(
+                one_block, (z, n_dk, n_vk, n_k), block_offs)
+            cur_ph = (n_vk + beta) / (n_k + vbeta)  # rows stay shard-local
+            if topic_mask is not None:
+                cur_ph = cur_ph * topic_mask
+            cur_th = theta_from_fused(n_dk, li, lvt.T, alpha, K)
+            s = s + 1
+            ph_hat = running_average(ph_hat, cur_ph, s)
+            th_hat = running_average(th_hat, cur_th, s)
+            return ((z, n_dk, n_vk, n_k), ph_hat, th_hat, s), None
+
+        carry = ((state.z, state.n_dk, state.n_vk, state.n_k),
+                 state.ph_hat, state.th_hat, state.s)
+        if n_save:
+            carry, _ = jax.lax.scan(
+                save_block, carry,
+                offs[: n_save * bps].reshape(n_save, bps))
+        (z, n_dk, n_vk, n_k), ph_hat, th_hat, s = carry
+        left = rem
+        for j in range(n_rem):
+            m_j = min(M, left)
+            blk = _build_vblock(mesh, alpha, beta, m_j, V)
+            k = jax.random.fold_in(key, offs[n_save * bps + j])
+            z, n_dk, n_vk, n_k = blk(k, z, n_dk, n_vk, n_k, tvt, tft, li, lvt)
+            left -= m_j
+        return VocabShardedTrainState(z=z, n_dk=n_dk, n_vk=n_vk, n_k=n_k,
+                                      ph_hat=ph_hat, th_hat=th_hat, s=s)
+
+    return loop
 
 
 def full_table(state: VocabShardedState) -> jax.Array:

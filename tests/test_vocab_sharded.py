@@ -121,3 +121,115 @@ def test_learns_structure(setup):
     for d in range(lab_ids.shape[0]):
         allowed[lab_ids[d][lab_valid_t[:, d] > 0]] = True
     assert n_vk[:, ~allowed].sum() == 0
+
+
+def test_train_loop_thinned_means_and_sharding(setup):
+    """Whole-run vocab-sharded training loop: thinned φ̂/θ̂ means match a
+    manual block-by-block oracle, and every V-sized array in the train
+    state (including the means) stays vocab- or doc-sharded."""
+    import jax.numpy as jnp
+
+    from lda_thesis_tpu.parallel.vocab_sharded import (
+        init_vocab_sharded_train,
+        make_vocab_sharded_block,
+        make_vocab_sharded_train_loop,
+    )
+
+    mesh, _, corpus, total = setup
+    rng = np.random.default_rng(3)
+    tok_v = rng.integers(0, V, size=(D, U)).astype(np.int32)
+    n_types = rng.integers(2, U + 1, size=(D,))
+    tok_f = (np.arange(U)[None, :] < n_types[:, None]).astype(np.int32)
+    lab_ids = np.asarray(corpus[2])[:D]
+    lab_valid_t = np.asarray(corpus[3])[:, :D]
+    state = init_vocab_sharded_train(
+        jax.random.PRNGKey(0), mesh, tok_v, tok_f, lab_ids,
+        lab_valid_t.T, V, K)
+
+    # sharded persistent state: table AND ph_hat split V/S per device
+    Vp = state.n_vk.shape[0]
+    assert {s.data.shape for s in state.ph_hat.addressable_shards} == {
+        (Vp // 8, K)}
+
+    alpha, beta, M = 0.1, 0.01, 2
+    loop = make_vocab_sharded_train_loop(
+        mesh, alpha, beta, V, K, topic_mask=None, corpus=corpus)
+    key = jax.random.PRNGKey(11)
+    out = loop(key, state, jnp.int32(0), iters=4, thinning=2, M=M)
+    assert int(out.s) == 2
+
+    # oracle: drive the public block API with the same chunk-invariant keys
+    block = make_vocab_sharded_block(mesh, alpha=alpha, beta=beta, M=M, V=V)
+    from lda_thesis_tpu.parallel.vocab_sharded import VocabShardedState
+    st = VocabShardedState(state.z, state.n_dk, state.n_vk, state.n_k)
+    ph_hat = np.zeros((Vp, K), np.float32)
+    th_hat = None
+    for save_i in range(2):
+        st = block(jax.random.fold_in(key, save_i * M), st, *corpus)
+        n_vk = np.asarray(st.n_vk)
+        n_k = np.asarray(st.n_k)
+        cur_ph = (n_vk + beta) / (n_k + V * beta)
+        s = save_i + 1
+        ph_hat = (s - 1) / s * ph_hat + cur_ph / s
+    np.testing.assert_allclose(np.asarray(out.ph_hat), ph_hat, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(out.n_vk), np.asarray(st.n_vk))
+    np.testing.assert_array_equal(np.asarray(out.z), np.asarray(st.z))
+
+
+def _toy_docs():
+    rng = np.random.default_rng(0)
+    vocab = [f"w{i}" for i in range(40)]
+    docs, labs = [], []
+    for d in range(24):
+        lab = ["A"] if d % 2 == 0 else ["B"]
+        lo = 0 if lab == ["A"] else 20
+        docs.append([vocab[lo + rng.integers(0, 20)] for _ in range(12)])
+        labs.append(lab)
+    return docs, labs, ["root", "A", "B"]
+
+
+def test_distributed_trainer_vocab_mode(tmp_path):
+    """DistributedLabeledLDA(table_shard='vocab'): trains end-to-end over
+    the data mesh, learns label structure, and kill/resume through
+    save_sharded/restore_sharded is bit-identical."""
+    from lda_thesis_tpu.data.vocab import Dictionary
+    from lda_thesis_tpu.parallel import make_mesh
+    from lda_thesis_tpu.parallel.sharded_io import (
+        restore_sharded,
+        save_sharded,
+    )
+    from lda_thesis_tpu.parallel.trainer import DistributedLabeledLDA
+
+    docs, labs, labelset = _toy_docs()
+    dicti = Dictionary(docs)
+    mesh = make_mesh(n_chains=1, n_data=8)
+
+    def build():
+        return DistributedLabeledLDA(
+            docs, labs, labelset, dicti, alpha=0.1, beta=0.01,
+            mesh=mesh, n_chains=1, seed=0, table_shard="vocab")
+
+    ref = build()
+    ref.run_training(8, 4)
+    want = {f: np.asarray(getattr(ref.state, f)) for f in ref.state._fields}
+
+    m1 = build()
+    m1.run_training(4, 4, total_iters=8)
+    path = str(tmp_path / "vckpt")
+    save_sharded(path, m1, iters_done=4)
+    del m1
+    m2 = build()
+    meta = restore_sharded(path, m2)
+    assert meta["iters_done"] == 4 and meta["table_shard"] == "vocab"
+    m2.run_training(4, 4, total_iters=8)
+    for f, w in want.items():
+        np.testing.assert_array_equal(
+            np.asarray(getattr(m2.state, f)), w, err_msg=f)
+
+    # quality smoke: A-branch words put mass on topic A, not B
+    ph = ref.pooled_phi()  # (K, V)
+    a_cols = [dicti.token2id[w] for w in dicti.token2id if int(w[1:]) < 20]
+    k_a, k_b = labelset.index("A"), labelset.index("B")
+    assert ph[k_a, a_cols].sum() > ph[k_b, a_cols].sum()
+    th = ref.run_test(docs[:4], 10, 5)
+    assert th.shape == (4, 3)
