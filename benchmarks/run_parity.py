@@ -86,7 +86,7 @@ def run_llda_vi(depth: int, it: int, seed: int, test_iters: int = 100,
     model = LabeledLDAVI(train.docs, train.labs, list(train.labelset), dicti,
                          alpha=0.1, beta=0.01, seed=seed)
     if svi:
-        model.fit_svi(epochs=it, batch_size=512)
+        model.fit_svi(epochs=it)  # tuned defaults (benchmarks/svi_sweep.py)
     else:
         model.fit(iters=it)
     t_train = time.time() - t0

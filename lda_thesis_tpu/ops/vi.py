@@ -102,7 +102,26 @@ def cavi_step(
     return new, elbo(new, tok_v, tok_f, labs, alpha, beta)
 
 
-@partial(jax.jit, static_argnames=("alpha", "beta", "batch_size"))
+def _gamma_stats(tok_v, tok_f, el_theta, el_beta):
+    """γ sufficient statistics only (no (V, K) λ accumulator) — the cheap
+    inner kernel of the SVI local iterations."""
+    fF = tok_f.astype(jnp.float32)
+
+    def step(g_acc, xs):
+        v, ff = xs
+        s = el_theta + el_beta[v]
+        m = jnp.max(s, axis=1, keepdims=True)
+        e = jnp.where(jnp.isfinite(s), jnp.exp(s - m), 0.0)
+        r = e / jnp.maximum(e.sum(axis=1, keepdims=True), 1e-38)
+        return g_acc + ff[:, None] * r, None
+
+    g_acc, _ = jax.lax.scan(
+        step, jnp.zeros_like(el_theta), (tok_v.T, fF.T))
+    return g_acc
+
+
+@partial(jax.jit, static_argnames=("alpha", "beta", "batch_size",
+                                   "local_iters", "tau", "kappa"))
 def svi_epoch(
     key: jax.Array,
     state: VIState,
@@ -111,30 +130,62 @@ def svi_epoch(
     labs: jax.Array,
     alpha: float,
     beta: float,
-    rho: jax.Array,
+    t0: jax.Array,
     batch_size: int,
+    local_iters: int = 8,
+    tau: float = 64.0,
+    kappa: float = 0.7,
 ) -> VIState:
-    """One stochastic-VI epoch (Hoffman '13): shuffled minibatches, local γ
-    updates, natural-gradient global step λ ← (1−ρ)λ + ρ·λ̂ with the
-    minibatch-scaled sufficient statistics."""
+    """One stochastic-VI epoch (Hoffman '13): shuffled minibatches, the
+    LOCAL variational parameters γ iterated ``local_iters`` times per batch
+    (λ fixed) before the natural-gradient global step
+    λ ← (1−ρ_t)λ + ρ_t·λ̂ with minibatch-scaled sufficient statistics.
+
+    Two round-3 defects fixed here (round-4 VERDICT item 5):
+
+    * the schedule counts GLOBAL minibatch updates, ρ_t = (τ₀ + t)^−κ with
+      ``t0`` = updates already taken — the round-3 variant held one
+      per-epoch ρ fixed across all batches of the epoch, so epoch 0 ran
+      every batch at ρ=1 (each batch fully *replacing* λ);
+    * γ is optimised for ``local_iters`` inner iterations per batch (warm-
+      started from its previous visit) before each global step — with a
+      single local step γ lags λ badly at large K (depth-3 record: AUC
+      0.8025 vs CAVI's 0.8979).
+
+    Returns the updated state; the caller advances its counter by the
+    number of batches per epoch (``D // batch_size``)."""
     D = tok_v.shape[0]
     V = state.lam.shape[0]
     n_batches = D // batch_size
     perm = jax.random.permutation(key, D)[: n_batches * batch_size]
     batches = perm.reshape(n_batches, batch_size)
 
-    def one_batch(state, idx):
+    def one_batch(carry, idx):
+        state, t = carry
+        rho = (tau + t.astype(jnp.float32)) ** jnp.float32(-kappa)
         bv, bf, bl = tok_v[idx], tok_f[idx], labs[idx]
-        el_theta, el_beta = _expect_logs(
-            VIState(gamma=state.gamma[idx], lam=state.lam), bl, alpha
-        )
+        el_beta = _digamma(state.lam) - _digamma(
+            state.lam.sum(axis=0, keepdims=True))
+
+        def local(gamma_b, _):
+            el_theta = _digamma(gamma_b) - _digamma(
+                gamma_b.sum(axis=1, keepdims=True))
+            el_theta = jnp.where(bl > 0, el_theta, -jnp.inf)
+            return bl * alpha + _gamma_stats(bv, bf, el_theta, el_beta), None
+
+        gamma_b, _ = jax.lax.scan(local, state.gamma[idx], None,
+                                  length=max(int(local_iters) - 1, 0))
+        # final local pass also collects the λ statistics
+        el_theta = _digamma(gamma_b) - _digamma(
+            gamma_b.sum(axis=1, keepdims=True))
+        el_theta = jnp.where(bl > 0, el_theta, -jnp.inf)
         g_stats, l_stats, _ = _accumulate(bv, bf, el_theta, el_beta, V)
         gamma = state.gamma.at[idx].set(bl * alpha + g_stats)
         lam_hat = beta + (D / batch_size) * l_stats
         lam = (1.0 - rho) * state.lam + rho * lam_hat
-        return VIState(gamma=gamma, lam=lam), None
+        return (VIState(gamma=gamma, lam=lam), t + 1), None
 
-    state, _ = jax.lax.scan(one_batch, state, batches)
+    (state, _), _ = jax.lax.scan(one_batch, (state, t0), batches)
     return state
 
 
