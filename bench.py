@@ -32,13 +32,14 @@ DATA = "/root/reference/abstracts_data.csv"
 
 def main() -> None:
     sys.path.insert(0, "/root/repo")
-    import jax
-
     # persistent compile cache: the tunnelled chip's compile latency is
     # highly variable (12s-8min observed for the same program); cached
     # executables make the benchmark measure the sampler, not the compiler
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # (two-tier: reads the repo-shipped cache, writes user-side)
+    from lda_thesis_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    import jax
 
     from lda_thesis_tpu.data.corpus import load_corpus, split_data
     from lda_thesis_tpu.data.vocab import prune_dict

@@ -39,11 +39,10 @@ import sys
 import time
 
 sys.path.insert(0, "/root/repo")
+from lda_thesis_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
 import jax
-
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
 import jax.numpy as jnp
 import numpy as np
 

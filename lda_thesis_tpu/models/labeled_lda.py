@@ -530,6 +530,21 @@ class LabeledLDA:
         th = self._th_hat_np
         return tuple(jnp.asarray(th[ix]) for ix in self.buckets.doc_idx)
 
+    def _check_merge_block(self, merge: int) -> None:
+        """Bit-identical resume guard (round-4 ADVICE): the fused merge
+        block M is budget-dependent (select_merge_block caps it for tiny
+        totals), so a resumed run that recomputes a different M than the
+        checkpointed run silently draws a different chain.  Checkpoints
+        record the M in use; a mismatch on resume raises instead."""
+        ckpt = getattr(self, "_ckpt_merge_M", None)
+        if ckpt is not None and int(ckpt) != int(merge):
+            raise ValueError(
+                f"fused merge-block mismatch: checkpoint used M={ckpt}, "
+                f"this run selected M={merge} — pass total_iters= (the full "
+                f"planned sweep count of the original run) so the resumed "
+                f"chain is bit-identical")
+        self._merge_M = int(merge)
+
     def run_training(
         self,
         iters: int,
@@ -561,6 +576,7 @@ class LabeledLDA:
         if self.sweep == "fused":
             budget = int(total_iters) if total_iters else int(iters)
             merge = select_merge_block(self.merge_every, int(thinning), budget)
+            self._check_merge_block(merge)
             self.counts, self.ph_hat, th_hat_t, s, perps = _train_loop_fused(
                 k,
                 self.counts,

@@ -302,7 +302,8 @@ def to_fast_layout(z, n_dk, tok_v, tok_f, labs):
     xs (materialised once, ``optimization_barrier`` so XLA cannot re-fuse
     the transpose into every scan-step slice) and keeping z in the same
     layout across sweeps removes the per-sweep transpose/pad traffic —
-    measured ~10x per-position on a v5e chip (benchmarks/probe_bisect2.py).
+    measured ~10x per-position on a v5e chip (round-2 probe series;
+    conclusions in ARCHITECTURE.md, scripts pruned round 4).
     Padding rows carry f = 0 / labs = 0 and are algebraic no-ops.
     """
     D, U = tok_v.shape

@@ -14,7 +14,8 @@ over the (D, K) operands:
     Δn_k = Σ_rows f·(1[z'] − 1[z_old])       (per-block partial, summed by XLA)
 
 Random row gather/scatter of the topic-word table stays in XLA (Mosaic has
-no vectorised gather — probed in benchmarks/probe_pallas.py; the full table
+no vectorised gather — established by the round-2 probe series
+(conclusions folded into ARCHITECTURE.md, scripts pruned round 4); the full table
 also exceeds the 16 MB VMEM budget at f32).  Grid is over document blocks;
 operands are blocked to (B, K) so VMEM holds a handful of tiles regardless
 of D.  Semantics match the XLA path exactly given the same uniforms (same
@@ -103,8 +104,8 @@ def pallas_supported() -> bool:
     a flat ~0.8 ms staging cost per invocation — crossing the XLA→Mosaic
     boundary re-materialises VMEM-resident scan state through HBM — so the
     pure-XLA fast-layout sweep is measurably faster end-to-end (6.74M vs
-    6.27M tokens/s/chip; benchmarks/probe_bw.py isolates the boundary
-    cost, probe_kernel_variants.py shows the kernel itself is
+    6.27M tokens/s/chip; the round-2 probes isolated the boundary
+    cost and showed the kernel itself is
     traffic-bound, not compute-bound).  The kernel stays bitwise-equal to
     the XLA path (tests/test_pallas_parity.py, accelerator-only), so
     flipping the flag is safe where the boundary is cheap.

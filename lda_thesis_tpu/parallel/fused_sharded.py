@@ -156,7 +156,7 @@ def make_fused_train_loop(
 
     def block_fn(key, z, n_dk, n_vk, n_k, M):
         # inlined UNJITTED body: a nested jit/pjit call boundary here costs
-        # ~0.5 s per block on the tunnelled backend (probe_fsh8: the same
+        # ~0.5 s per block on the tunnelled backend (round-3 probe: the same
         # program runs 50x faster with the body inlined into the outer jit)
         if single_device:
             return _chains_body(key, z, n_dk, n_vk, n_k, tvt, tft, li, lvt,

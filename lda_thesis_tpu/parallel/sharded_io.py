@@ -50,6 +50,7 @@ def save_sharded(path: str, model, iters_done: int = 0) -> None:
         "alpha": float(model.alpha),
         "beta": float(model.beta),
         "iters_done": int(iters_done),
+        "merge_M": getattr(model, "_merge_M", None),
     }
     save_checkpoint(path, arrays, meta)
 
@@ -142,6 +143,8 @@ def restore_sharded(path: str, model) -> Dict[str, Any]:
     if layout == "fused":
         # fused block keys derive from the fixed master key + this counter
         model._sweeps_done = int(meta.get("iters_done", 0))
+        if meta.get("merge_M") is not None:
+            model._ckpt_merge_M = int(meta["merge_M"])
         if "master_key" in arrays:
             model._master_key = jax.device_put(
                 jnp.asarray(arrays["master_key"]),

@@ -187,6 +187,7 @@ class DistributedLabeledLDA:
                 )
             budget = int(total_iters) if total_iters else iters
             M = select_merge_block(self.merge_every, thinning, budget)
+            self._check_merge_block(M)
             self.state = self._loop(
                 self._master_key, self.state,
                 jnp.int32(self._sweeps_done),
@@ -207,6 +208,7 @@ class DistributedLabeledLDA:
 
             budget = int(total_iters) if total_iters else iters
             M = select_merge_block(self.merge_every, thinning, budget)
+            self._check_merge_block(M)
             self.state = self._loop(
                 self._master_key, self.state,
                 jnp.int32(self._sweeps_done),
@@ -220,6 +222,18 @@ class DistributedLabeledLDA:
             self.state = self._step(
                 k, self.state, self.tok_v, self.tok_f, self.labs, save
             )
+
+    def _check_merge_block(self, merge: int) -> None:
+        """Bit-identical resume guard (round-4 ADVICE): checkpoints record
+        the fused merge-block M; a resume that recomputes a different M
+        raises instead of silently drawing a different chain."""
+        ckpt = getattr(self, "_ckpt_merge_M", None)
+        if ckpt is not None and int(ckpt) != int(merge):
+            raise ValueError(
+                f"fused merge-block mismatch: checkpoint used M={ckpt}, "
+                f"this run selected M={merge} — pass total_iters= (the full "
+                f"planned sweep count of the original run)")
+        self._merge_M = int(merge)
 
     # ------------------------------------------------------------ estimators
 

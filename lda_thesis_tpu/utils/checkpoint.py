@@ -102,6 +102,7 @@ def save_model(path: str, model, extra_meta: Dict[str, Any] = None) -> None:
             meta.update(alpha=model.alpha, beta=model.beta, K=model.K,
                         Kp=model.Kp, V=model.V, D=model.D,
                         sweep=model.sweep, avg_s=int(model._avg_s),
+                        merge_M=getattr(model, "_merge_M", None),
                         labelmap=model.labelmap,
                         cur_perplx=list(map(float, model.cur_perplx)))
         else:
@@ -197,6 +198,8 @@ def restore_model(path: str, model) -> Dict[str, Any]:
         if kind == "LabeledLDA":
             model.cur_perplx = list(meta.get("cur_perplx", []))
             model._avg_s = int(meta.get("avg_s", 0))
+            if meta.get("merge_M") is not None:
+                model._ckpt_merge_M = int(meta["merge_M"])
     elif kind == "CascadeLDA":
         model.ph = np.asarray(arrays["ph"])
     elif kind == "HSLDA":

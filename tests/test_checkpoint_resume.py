@@ -107,3 +107,39 @@ def test_cli_checkpoint_flow(tmp_path):
     )
     np.testing.assert_array_equal(np.asarray(ref.ph_hat), np.asarray(res.ph_hat))
     np.testing.assert_array_equal(ref.th_hat, res.th_hat)
+
+
+def test_fused_merge_block_mismatch_raises(tmp_path):
+    """Round-4 ADVICE: a resumed fused run that recomputes a different
+    merge-block M than the checkpointed run must raise, not silently draw
+    a different chain.  M is budget-dependent (select_merge_block caps it
+    at budget//8), so resuming WITHOUT total_iters after a chunked run
+    that used a large total is exactly the silent-mismatch case."""
+    import pytest
+
+    from lda_thesis_tpu.data.corpus import load_corpus, split_data  # noqa: F401
+    from lda_thesis_tpu.data.vocab import Dictionary
+    from lda_thesis_tpu.models.labeled_lda import LabeledLDA
+    from lda_thesis_tpu.utils.checkpoint import restore_model, save_model
+
+    docs = [f"w{i} w{(i+1) % 7} w{(i+2) % 7}".split() for i in range(12)]
+    labs = [["A"] if i % 2 else ["B"] for i in range(12)]
+    dicti = Dictionary(docs)
+
+    def build():
+        return LabeledLDA(docs, labs, ["A", "B"], dicti, alpha=0.1,
+                          beta=0.01, seed=0, sweep="fused")
+
+    m1 = build()
+    # chunk 1 of a planned 80-sweep run: M = select(5, 10, 80) = 5
+    m1.run_training(10, 10, total_iters=80, perplexity=False)
+    path = str(tmp_path / "ck")
+    save_model(path, m1, extra_meta={"iters_done": 10})
+
+    m2 = build()
+    restore_model(path, m2)
+    with pytest.raises(ValueError, match="merge-block mismatch"):
+        # no total_iters → budget=10 → M=1 ≠ checkpointed 5
+        m2.run_training(10, 10, perplexity=False)
+    # correct resume passes the original total
+    m2.run_training(10, 10, total_iters=80, perplexity=False)
