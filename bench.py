@@ -60,17 +60,22 @@ def main() -> None:
     else:
         path = "xla"
 
-    # warmup with the SAME static config so the timed runs hit the jit cache.
-    # 60-sweep windows: long enough that the fused sampler's small-budget
-    # merge cap (models/labeled_lda.py) does not kick in — the measurement
-    # represents sustained training, not a 20-sweep toy budget
-    n_sweeps = 60
-    model.run_training(n_sweeps, n_sweeps, perplexity=False)
+    # warmup with the SAME static config so the timed runs hit the jit
+    # cache.  Windows measure SUSTAINED training at the thesis evaluation
+    # configuration — thinning 25 within a 2000-sweep budget, i.e. the
+    # exact (merge block M=25, thinned-save cadence) the depth-3 (2000;25)
+    # parity record trains with (PARITY.md round-4 merge rows) — so the
+    # headline number is the throughput of a quality-validated product
+    # run, not a benchmark-only configuration.
+    n_sweeps, thinning, total = 100, 25, 2000
+    model.run_training(n_sweeps, thinning, perplexity=False,
+                       total_iters=total)
 
     rates = []
     for _ in range(3):
         t0 = time.perf_counter()
-        model.run_training(n_sweeps, n_sweeps, perplexity=False)
+        model.run_training(n_sweeps, thinning, perplexity=False,
+                           total_iters=total)
         jax.block_until_ready(model.counts)
         dt = time.perf_counter() - t0
         rates.append(tokens_per_sweep * n_sweeps / dt)

@@ -40,7 +40,8 @@ def record(row: dict) -> None:
     print(json.dumps(row), flush=True)
 
 
-def run_llda(depth: int, it: int, s: int, seed: int) -> None:
+def run_llda(depth: int, it: int, s: int, seed: int,
+             merge: int = 5) -> None:
     from lda_thesis_tpu.data.corpus import load_corpus, split_data
     from lda_thesis_tpu.data.vocab import prune_dict
     from lda_thesis_tpu.eval.metrics import binary_yreal, evaluate_ranking
@@ -51,7 +52,7 @@ def run_llda(depth: int, it: int, s: int, seed: int) -> None:
     train, test = split_data(corpus, seed=seed)
     dicti = prune_dict(train.docs, lower=0, upper=1)
     model = LabeledLDA(train.docs, train.labs, list(train.labelset), dicti,
-                       alpha=0.1, beta=0.01, seed=seed)
+                       alpha=0.1, beta=0.01, seed=seed, merge_every=merge)
     model.run_training(it, s, perplexity=False)
     t_train = time.time() - t0
     th = model.run_test(test.docs, it, s)
@@ -63,7 +64,7 @@ def run_llda(depth: int, it: int, s: int, seed: int) -> None:
     m = evaluate_ranking(th[nonzero], y_bin[nonzero])
     record({
         "model": "llda", "depth": depth, "it": it, "thinning": s,
-        "seed": seed, "sweep": model.sweep,
+        "seed": seed, "sweep": model.sweep, "merge": merge,
         "auc": round(m["auc_roc"], 4),
         "one_hit": round(m["one_hit"], 4), "two_hit": round(m["two_hit"], 4),
         "f1": round(m["f1_macro"], 4),
@@ -217,6 +218,8 @@ def main() -> None:
                              "cascade"),
                     required=True)
     ap.add_argument("--n-chains", type=int, default=8)
+    ap.add_argument("--merge", type=int, default=5,
+                    help="fused merge-block cap (llda only)")
     ap.add_argument("--depth", type=int, default=3)
     ap.add_argument("--it", type=int, required=True)
     ap.add_argument("--s", type=int, required=True)
@@ -228,7 +231,7 @@ def main() -> None:
     ap.add_argument("--test-s", type=int, default=None)
     args = ap.parse_args()
     if args.model == "llda":
-        run_llda(args.depth, args.it, args.s, args.seed)
+        run_llda(args.depth, args.it, args.s, args.seed, merge=args.merge)
     elif args.model == "llda-chains":
         run_llda_chains(args.depth, args.it, args.s, args.seed,
                         n_chains=args.n_chains)

@@ -432,7 +432,7 @@ class LabeledLDA:
         k_pad: int = 128,
         n_buckets: int = 1,
         sweep: str = "auto",
-        merge_every: int = 5,
+        merge_every: int = 25,
     ):
         self.alpha = float(alpha)
         self.beta = float(beta)
@@ -465,8 +465,13 @@ class LabeledLDA:
         # sweep kernel:
         # * "fused" (default) — whole-sweep Pallas kernel over the compact
         #   label support with merge-block (AD-LDA-on-the-time-axis) table
-        #   freezing, ops/gibbs_fused.py.  ~5x the dense path's throughput
-        #   on a v5e chip; quality re-validated at thesis scale (PARITY.md).
+        #   freezing, ops/gibbs_fused.py.  Throughput scales nearly
+        #   linearly with the merge block M (the amortised table
+        #   gather/scatter dominates): 31M tok/s at M=5, 56M at M=10,
+        #   109M at M=25 on a v5e chip; thesis-scale AUC is unchanged
+        #   through M=25 (PARITY.md round-4 merge rows), and tiny budgets
+        #   cap M at budget//8 (select_merge_block) so the README (4;4)
+        #   config stays reference-exact.
         # * "dense" — exact per-position sampler, (D, K) lanes
         #   (ops/gibbs.train_sweep; round-2 default, 6.9 M tokens/s).
         # * "compact" — exact per-position sampler on (D, A) slots; slow on

@@ -63,7 +63,7 @@ class DistributedLabeledLDA:
         seed: int = 0,
         k_pad: int = 128,
         sweep: str = "auto",
-        merge_every: int = 5,
+        merge_every: int = 25,
         table_shard: str = "replicated",
     ):
         self.alpha = float(alpha)
