@@ -114,28 +114,51 @@ def gather_cv(n_vk: jax.Array, tok_v_t: jax.Array, lab_ids: jax.Array,
               chunk: int = 16) -> jax.Array:
     """(U, A, D) per-slot topic-word counts ``n_vk[v_ud, lab_ids[d, a]]``.
 
-    Chunked row gather + lane pick; one invocation per merge block (the
-    table is frozen inside a block, so slots can be gathered in bulk).
+    Chunked row gather + an MXU one-hot contraction for the lane pick; one
+    invocation per merge block (the table is frozen inside a block, so
+    slots can be gathered in bulk).  The contraction replaces a
+    ``take_along_axis`` element gather — TPU element gathers serialise
+    (measured 20 ms/block at full corpus shapes vs 6 ms for the matmul
+    form) — and is EXACT: each output row is ``x·1 + Σ x'·0``, bitwise
+    equal to the picked element.
     """
     U, D = tok_v_t.shape
     A = lab_ids.shape[1]
+    K = n_vk.shape[1]
     ch = chunk
     while U % ch:
         ch //= 2
+    oh_li = jax.nn.one_hot(lab_ids, K, dtype=jnp.float32)  # (D, A, K)
 
     def step(_, v):  # (ch, D)
         rows = n_vk[v]  # (ch, D, K)
-        cv = jnp.take_along_axis(rows, lab_ids[None], axis=2)  # (ch, D, A)
-        return None, cv.transpose(0, 2, 1)
+        # HIGHEST precision is required for exactness: the TPU default
+        # truncates the f32 counts to bf16 inside the MXU (verified
+        # non-exact on chip); bf16x3 reconstructs them bitwise
+        cv = jnp.einsum("cdk,dak->cad", rows, oh_li,
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32)  # (ch, A, D)
+        return None, cv
 
     _, cv = jax.lax.scan(step, None, tok_v_t.reshape(U // ch, ch, D))
     return cv.reshape(U, A, D)
 
 
+def _slot_to_global(lab_ids: jax.Array, z: jax.Array) -> jax.Array:
+    """(U, D) global topic ids from compact slot indices — an unrolled
+    select-sum over the A slots instead of ``take_along_axis`` (TPU element
+    gathers serialise: 5.7 ms vs 1.6 ms per block at corpus shapes)."""
+    A = lab_ids.shape[1]
+    out = jnp.zeros(z.shape, jnp.int32)
+    for a in range(A):
+        out = jnp.where(z == a, lab_ids[:, a][None, :], out)
+    return out
+
+
 def _scatter_deltas(n_vk, tok_v_t, tok_f_t, lab_ids, z0, z1):
     """Commit a block's count deltas: only first/last z per slot matter."""
-    zg0 = jnp.take_along_axis(lab_ids, z0.T, axis=1).T  # (U, D) global ids
-    zg1 = jnp.take_along_axis(lab_ids, z1.T, axis=1).T
+    zg0 = _slot_to_global(lab_ids, z0)  # (U, D) global ids
+    zg1 = _slot_to_global(lab_ids, z1)
     vf = tok_v_t.reshape(-1)
     ff = tok_f_t.reshape(-1)
     n_vk = n_vk.at[vf, zg0.reshape(-1)].add(-ff)
@@ -148,78 +171,101 @@ def _scatter_deltas(n_vk, tok_v_t, tok_f_t, lab_ids, z0, z1):
 # --------------------------------------------------------------------------
 
 
+def _pick_ub(U: int) -> int:
+    """Positions per grid step: the largest power of two ≤ 8 dividing U.
+
+    Per-grid-step overhead (~15 µs of windowing/bookkeeping on a v5e)
+    dominates the per-position compute (~3 µs on (A, D) tiles), so the
+    kernel processes ``UB`` positions per step with the position loop
+    unrolled inside the body — measured ~2.5× at UB=8 over UB=1."""
+    ub = 8
+    while U % ub:
+        ub //= 2
+    return max(ub, 1)
+
+
 @functools.lru_cache(maxsize=None)
 def _build_block_kernel(M: int, U: int, A: int, D: int,
                         alpha: float, beta: float):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    UB = _pick_ub(U)
+    n_ub = U // UB
+
     def kernel(cv_ref, f_ref, u_ref, z0_ref, nkg_ref, valid_ref, ndk0_ref,
                tril_ref, zout_ref, ndk_ref, z_scr):
         m = pl.program_id(0)
-        u = pl.program_id(1)
+        ub = pl.program_id(1)
 
-        @pl.when(jnp.logical_and(m == 0, u == 0))
+        @pl.when(jnp.logical_and(m == 0, ub == 0))
         def _():
             ndk_ref[:] = ndk0_ref[:]
 
         @pl.when(m == 0)
         def _():
-            z_scr[pl.ds(u, 1), :] = z0_ref[0]
+            z_scr[pl.ds(ub * UB, UB), :] = z0_ref[:, 0, :]
 
         a_ids = jax.lax.broadcasted_iota(jnp.int32, (A, D), 0)
-        f = f_ref[0]  # (1, D)
-        z_start = z0_ref[0]  # (1, D) — z at block start (table-freeze time)
-        z_old = z_scr[pl.ds(u, 1), :]  # (1, D) — current z of this slot
+        ndk = ndk_ref[:]
+        # position loop unrolled inside the step — identical op order per
+        # position as the original (M, U) grid, so the XLA twin (and any
+        # previously recorded chain) stays bitwise-equal
+        for j in range(UB):
+            f = f_ref[pl.ds(j, 1), 0, :]  # (1, D)
+            z_start = z0_ref[pl.ds(j, 1), 0, :]  # (1, D) — block-start z
+            z_old = z_scr[pl.ds(ub * UB + j, 1), :]  # (1, D) — current z
 
-        # own-token exclusion against the FROZEN table uses z_start; the
-        # live n_dk decrement uses the current z
-        oh_start = jnp.where(a_ids == z_start, f, 0.0)
-        oh_old = jnp.where(a_ids == z_old, f, 0.0)
+            # own-token exclusion against the FROZEN table uses z_start;
+            # the live n_dk decrement uses the current z
+            oh_start = jnp.where(a_ids == z_start, f, 0.0)
+            oh_old = jnp.where(a_ids == z_old, f, 0.0)
 
-        ndk_m = ndk_ref[:] - oh_old
-        cv_eff = cv_ref[0] - oh_start
-        nk_eff = nkg_ref[:] - oh_start
-        # nkg arrives pre-biased by V*beta (a traced value — baking it
-        # into the kernel would recompile per corpus split)
-        w = valid_ref[:] * (ndk_m + alpha) * (cv_eff + beta) * (
-            1.0 / nk_eff)
-        c = jnp.dot(tril_ref[:], w, preferred_element_type=jnp.float32)
-        r = u_ref[0] * c[A - 1 : A, :]
-        z_new = jnp.sum((c < r).astype(jnp.int32), axis=0, keepdims=True)
-        z_new = jnp.where(f > 0, z_new, z_old)
+            ndk_m = ndk - oh_old
+            cv_eff = cv_ref[pl.ds(j, 1), :, :][0] - oh_start
+            nk_eff = nkg_ref[:] - oh_start
+            # nkg arrives pre-biased by V*beta (a traced value — baking it
+            # into the kernel would recompile per corpus split)
+            w = valid_ref[:] * (ndk_m + alpha) * (cv_eff + beta) * (
+                1.0 / nk_eff)
+            c = jnp.dot(tril_ref[:], w, preferred_element_type=jnp.float32)
+            r = u_ref[pl.ds(j, 1), 0, :] * c[A - 1 : A, :]
+            z_new = jnp.sum((c < r).astype(jnp.int32), axis=0, keepdims=True)
+            z_new = jnp.where(f > 0, z_new, z_old)
 
-        oh_new = jnp.where(a_ids == z_new, f, 0.0)
-        ndk_ref[:] = ndk_m + oh_new
-        z_scr[pl.ds(u, 1), :] = z_new
+            oh_new = jnp.where(a_ids == z_new, f, 0.0)
+            ndk = ndk_m + oh_new
+            z_scr[pl.ds(ub * UB + j, 1), :] = z_new
 
-        @pl.when(m == M - 1)
-        def _():
-            zout_ref[0] = z_new
+            @pl.when(m == M - 1)
+            def _():
+                zout_ref[pl.ds(j, 1), 0, :] = z_new
 
-    grid = (M, U)
+        ndk_ref[:] = ndk
+
+    grid = (M, n_ub)
     in_specs = [
-            pl.BlockSpec((1, A, D), lambda m, u: (u, 0, 0),
+            pl.BlockSpec((UB, A, D), lambda m, ub: (ub, 0, 0),
                          memory_space=pltpu.VMEM),  # cv (U, A, D)
-            pl.BlockSpec((1, 1, D), lambda m, u: (u, 0, 0),
+            pl.BlockSpec((UB, 1, D), lambda m, ub: (ub, 0, 0),
                          memory_space=pltpu.VMEM),  # f (U, 1, D)
-            pl.BlockSpec((1, 1, D), lambda m, u: (m * U + u, 0, 0),
+            pl.BlockSpec((UB, 1, D), lambda m, ub: (m * n_ub + ub, 0, 0),
                          memory_space=pltpu.VMEM),  # uniforms (M*U, 1, D)
-            pl.BlockSpec((1, 1, D), lambda m, u: (u, 0, 0),
+            pl.BlockSpec((UB, 1, D), lambda m, ub: (ub, 0, 0),
                          memory_space=pltpu.VMEM),  # z0 (U, 1, D)
-            pl.BlockSpec((A, D), lambda m, u: (0, 0),
+            pl.BlockSpec((A, D), lambda m, ub: (0, 0),
                          memory_space=pltpu.VMEM),  # nkg
-            pl.BlockSpec((A, D), lambda m, u: (0, 0),
+            pl.BlockSpec((A, D), lambda m, ub: (0, 0),
                          memory_space=pltpu.VMEM),  # valid
-            pl.BlockSpec((A, D), lambda m, u: (0, 0),
+            pl.BlockSpec((A, D), lambda m, ub: (0, 0),
                          memory_space=pltpu.VMEM),  # ndk0
-            pl.BlockSpec((A, A), lambda m, u: (0, 0),
+            pl.BlockSpec((A, A), lambda m, ub: (0, 0),
                          memory_space=pltpu.VMEM),  # tril
     ]
     out_specs = (
-        pl.BlockSpec((1, 1, D), lambda m, u: (u, 0, 0),
+        pl.BlockSpec((UB, 1, D), lambda m, ub: (ub, 0, 0),
                      memory_space=pltpu.VMEM),  # z_out (U, 1, D)
-        pl.BlockSpec((A, D), lambda m, u: (0, 0),
+        pl.BlockSpec((A, D), lambda m, ub: (0, 0),
                      memory_space=pltpu.VMEM),  # n_dk out
     )
     return pl.pallas_call(

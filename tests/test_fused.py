@@ -183,3 +183,32 @@ def test_theta_from_fused(problem):
             if lab_valid[d, a] > 0:
                 mask[d, lab_ids[d, a]] = 1
     assert (th[mask == 0] == 0).all()
+
+
+def test_gather_and_slot_pick_match_take_along_axis():
+    """The MXU one-hot gather and the select-sum slot->global conversion
+    (round-4 perf: TPU element gathers serialise) must be BITWISE equal to
+    their take_along_axis formulations."""
+    import jax.numpy as jnp
+
+    from lda_thesis_tpu.ops.gibbs_fused import _slot_to_global, gather_cv
+
+    rng = np.random.default_rng(5)
+    U, D, A, K, V = 16, 24, 8, 128, 300
+    n_vk = jnp.asarray(
+        rng.integers(0, 2**20, size=(V, K)).astype(np.float32))
+    tok_v_t = jnp.asarray(rng.integers(0, V, size=(U, D)).astype(np.int32))
+    lab_ids = jnp.asarray(
+        np.sort(rng.integers(0, K, size=(D, A)), axis=1).astype(np.int32))
+
+    got = np.asarray(gather_cv(n_vk, tok_v_t, lab_ids))
+    rows = np.asarray(n_vk)[np.asarray(tok_v_t)]  # (U, D, K)
+    want = np.take_along_axis(
+        rows, np.asarray(lab_ids)[None], axis=2).transpose(0, 2, 1)
+    np.testing.assert_array_equal(got, want)
+
+    z = jnp.asarray(rng.integers(0, A, size=(U, D)).astype(np.int32))
+    got_z = np.asarray(_slot_to_global(lab_ids, z))
+    want_z = np.take_along_axis(np.asarray(lab_ids), np.asarray(z).T,
+                                axis=1).T
+    np.testing.assert_array_equal(got_z, want_z)
