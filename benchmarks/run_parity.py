@@ -130,16 +130,9 @@ def run_llda_chains(depth: int, it: int, s: int, seed: int,
     model = DistributedLabeledLDA(
         train.docs, train.labs, list(train.labelset), dicti,
         alpha=0.1, beta=0.01, mesh=mesh, n_chains=n_chains, seed=seed)
-    # chunked training through the chunk-invariant RNG/merge-block design
-    # (parallel/trainer.py): bit-identical to one uninterrupted call, but
-    # each dispatch compiles a bounded program — the tunnelled backend's
-    # compiler crashes on the monolithic 2000-sweep scan
-    chunk = s * max(1, min(200, it) // s)
-    done = 0
-    while done < it:
-        step = min(chunk, it - done)
-        model.run_training(step, s, total_iters=it)
-        done += step
+    # the trainer dispatches bounded chunks internally (bit-identical to
+    # one dispatch; the tunnelled compiler crashes on monolithic scans)
+    model.run_training(it, s)
     import jax as _jax
 
     _jax.block_until_ready(model.state.ph_hat)

@@ -172,6 +172,11 @@ class DistributedLabeledLDA:
         ``total_iters`` (chunked/checkpointed runs): the full planned sweep
         count, so the merge-block size — which is capped for tiny budgets —
         matches the uninterrupted run's and resume stays bit-identical.
+
+        Large ``iters`` are dispatched internally in bounded chunks (the
+        tunnelled backend's compiler crashes on monolithic multi-thousand-
+        sweep scans) — bit-identical to one dispatch by the chunk-invariant
+        RNG/merge-block design, and each chunk reuses ONE compiled program.
         """
         iters, thinning = int(iters), int(thinning)
         if self.table_shard == "vocab":
@@ -188,12 +193,13 @@ class DistributedLabeledLDA:
             budget = int(total_iters) if total_iters else iters
             M = select_merge_block(self.merge_every, thinning, budget)
             self._check_merge_block(M)
-            self.state = self._loop(
-                self._master_key, self.state,
-                jnp.int32(self._sweeps_done),
-                iters=iters, thinning=thinning, M=M,
-            )
-            self._sweeps_done += iters
+            for step in self._dispatch_chunks(iters, thinning):
+                self.state = self._loop(
+                    self._master_key, self.state,
+                    jnp.int32(self._sweeps_done),
+                    iters=step, thinning=thinning, M=M,
+                )
+                self._sweeps_done += step
             return
         if self.sweep == "fused":
             if self._loop is None:
@@ -209,12 +215,13 @@ class DistributedLabeledLDA:
             budget = int(total_iters) if total_iters else iters
             M = select_merge_block(self.merge_every, thinning, budget)
             self._check_merge_block(M)
-            self.state = self._loop(
-                self._master_key, self.state,
-                jnp.int32(self._sweeps_done),
-                iters=iters, thinning=thinning, M=M,
-            )
-            self._sweeps_done += iters
+            for step in self._dispatch_chunks(iters, thinning):
+                self.state = self._loop(
+                    self._master_key, self.state,
+                    jnp.int32(self._sweeps_done),
+                    iters=step, thinning=thinning, M=M,
+                )
+                self._sweeps_done += step
             return
         for i in range(iters):
             self._key, k = jax.random.split(self._key)
@@ -222,6 +229,21 @@ class DistributedLabeledLDA:
             self.state = self._step(
                 k, self.state, self.tok_v, self.tok_f, self.labs, save
             )
+
+    @staticmethod
+    def _dispatch_chunks(iters: int, thinning: int, limit: int = 400):
+        """Split ``iters`` into dispatch chunks of at most ~``limit`` sweeps,
+        aligned to ``thinning`` boundaries so the thinned-save structure is
+        identical to a single dispatch (the trailing iters % thinning
+        sweeps run unsaved in the final chunk, the reference rule).  All
+        full chunks share one program shape, so only two executables cover
+        any budget."""
+        chunk = max((limit // thinning) * thinning, thinning)
+        done = 0
+        while done < iters:
+            step = min(chunk, iters - done)
+            yield step
+            done += step
 
     def _check_merge_block(self, merge: int) -> None:
         """Bit-identical resume guard (round-4 ADVICE): checkpoints record

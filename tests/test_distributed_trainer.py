@@ -62,3 +62,21 @@ def test_run_test_pooled(model):
     np.testing.assert_allclose(th.sum(axis=1), 1.0, rtol=1e-4)
     assert th[0, model.labelmap["A"]] > th[0, model.labelmap["B"]]
     assert th[1, model.labelmap["B"]] > th[1, model.labelmap["A"]]
+
+
+def test_dispatch_chunks_align_to_thinning():
+    """Internal dispatch chunking (round 4: the tunnelled compiler crashes
+    on monolithic multi-thousand-sweep scans) must align to thinning
+    boundaries and cover the budget exactly."""
+    from lda_thesis_tpu.parallel.trainer import DistributedLabeledLDA
+
+    chunks = list(DistributedLabeledLDA._dispatch_chunks(2000, 10))
+    assert sum(chunks) == 2000
+    assert set(chunks[:-1]) <= {400}
+    assert all(c % 10 == 0 for c in chunks[:-1])
+    # trailing unsaved sweeps stay in the final chunk
+    assert list(DistributedLabeledLDA._dispatch_chunks(1003, 25)) == [
+        400, 400, 203]
+    # thinning larger than the limit: one save block per dispatch
+    assert list(DistributedLabeledLDA._dispatch_chunks(1000, 500)) == [
+        500, 500]
