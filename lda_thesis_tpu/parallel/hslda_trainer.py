@@ -106,17 +106,28 @@ class DistributedHSLDA(HSLDA):
                 opt=opt,
             )
         C, K, V = self.n_chains, self.K, self.V
-        ph0 = (jnp.zeros((C, K, V), jnp.float32) if self._ph_hat is None
-               else jnp.asarray(self._ph_hat, jnp.float32))
-        state, ph_hat, n_saves = self._loops[opt](
-            self._master_key, self.state, self._sh_tok_v, self._sh_mask,
-            self._sh_labs, ph0, jnp.int32(self._n_saves),
-            jnp.int32(self._cycles_done), iters=int(it),
-            thinning=int(thinning),
-        )
+        ph_hat = (jnp.zeros((C, K, V), jnp.float32) if self._ph_hat is None
+                  else jnp.asarray(self._ph_hat, jnp.float32))
+        n_saves = jnp.int32(self._n_saves)
+        # bounded dispatch chunks aligned to thinning (the tunnelled
+        # compiler crashes on monolithic multi-cycle scans — e.g. the
+        # 8-chain opt-2 program at 25 cycles); bit-identical to one
+        # dispatch by the cycle-counter RNG, one program shape per size
+        it, thinning = int(it), int(thinning)
+        chunk = max((10 // thinning) * thinning, thinning)
+        done = 0
+        state = self.state
+        while done < it:
+            step = min(chunk, it - done)
+            state, ph_hat, n_saves = self._loops[opt](
+                self._master_key, state, self._sh_tok_v, self._sh_mask,
+                self._sh_labs, ph_hat, n_saves,
+                jnp.int32(self._cycles_done), iters=step, thinning=thinning,
+            )
+            self._cycles_done += step
+            done += step
         jax.block_until_ready(state)
         self.state = state
-        self._cycles_done += int(it)
         self._n_saves = int(n_saves)
         self._ph_hat = np.asarray(ph_hat) if self._n_saves else None
 
