@@ -108,3 +108,41 @@ def test_api_matches_single_chain():
     m.run_training(it=2, thinning=2, opt=2)
     s = m.run_tests([["market", "tax"]], it=4, s=2)
     assert s.shape == (1, m.L) and np.isfinite(s).all()
+
+
+def test_internal_chunking_equals_single_dispatch():
+    """run_training auto-chunks dispatches (round 4: the tunnelled compiler
+    crashes on monolithic multi-cycle scans).  The chunked result must be
+    bit-identical to driving the whole-run loop in ONE dispatch with the
+    same master key and counters."""
+    import jax.numpy as jnp
+
+    from lda_thesis_tpu.parallel.hslda_sharded import make_hslda_train_loop
+
+    mesh = make_mesh(n_chains=2, n_data=4, devices=jax.devices()[:8])
+    it, thinning = 25, 5  # chunks internally as 10 + 10 + 5
+
+    m = DistributedHSLDA(DOCS, LABS, LABELSET, mesh=mesh, n_chains=4,
+                         k=4, seed=3)
+    m.run_training(it=it, thinning=thinning, opt=1)
+
+    ref = DistributedHSLDA(DOCS, LABS, LABELSET, mesh=mesh, n_chains=4,
+                           k=3 + 1, seed=3)
+    # initialise the same way, then run the loop once, undispatched
+    ref.run_training(it=0, thinning=thinning, opt=1)  # builds state + loop
+    loop = make_hslda_train_loop(
+        mesh, 4, ref._stirling_logs, D_total=ref.D, alpha=ref.alpha,
+        aprime=ref.aprime, gamma=ref.gamma, mu=ref.mu, sigma=ref.sigma,
+        xi=ref.xi, opt=1)
+    C, K, V = 4, ref.K, ref.V
+    state, ph_hat, n_saves = loop(
+        ref._master_key, ref.state, ref._sh_tok_v, ref._sh_mask,
+        ref._sh_labs, jnp.zeros((C, K, V), jnp.float32), jnp.int32(0),
+        jnp.int32(0), iters=it, thinning=thinning)
+
+    for f in m.state._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(m.state, f)), np.asarray(getattr(state, f)),
+            err_msg=f)
+    np.testing.assert_allclose(m._ph_hat, np.asarray(ph_hat), rtol=1e-6)
+    assert m._n_saves == int(n_saves) == it // thinning
