@@ -51,7 +51,6 @@ from ..ops.gibbs_fused import (
     init_fused,
     select_merge_block,
 )
-from ..ops.sampling import mask_to_logits
 from .state import phi_unsmoothed, running_average
 
 __all__ = ["CascadeLDA"]

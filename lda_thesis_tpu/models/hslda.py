@@ -36,7 +36,7 @@ import numpy as np
 
 from ..data.encode import binarize_labels, build_labelmap, encode_instances
 from ..ops.gibbs import foldin_sweep
-from ..ops.hslda_gibbs import HSLDACounts, hslda_init_counts, hslda_z_sweep
+from ..ops.hslda_gibbs import hslda_init_counts, hslda_z_sweep
 from ..ops.sampling import gumbel_argmax, stirling_table, truncated_normal
 
 __all__ = ["HSLDA"]

@@ -16,7 +16,7 @@ ports by changing one class name.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -37,7 +37,6 @@ from .fused_sharded import (
     shard_fused_corpus,
 )
 from .sharded import (
-    ShardedLDAState,
     init_sharded_state,
     make_mesh,
     make_sharded_train_step,
