@@ -99,6 +99,11 @@ def main() -> None:
     corpus = shard_fused_corpus(mesh, tok_v, tok_f, lab_ids, lab_valid)
 
     n_sweeps = args.sweeps
+    if n_sweeps % args.merge:
+        raise SystemExit(f"--sweeps {n_sweeps} must be a multiple of "
+                         f"--merge {args.merge} (the loop executes whole "
+                         f"merge blocks; a remainder would under-run the "
+                         f"window and inflate tokens/s)")
     base_aggregate = None
     for n_chains in (int(x) for x in args.chains.split(",")):
         if n_chains % mesh_chains:

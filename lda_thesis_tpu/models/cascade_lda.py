@@ -142,6 +142,9 @@ def _level_train_loop_fused(key, state, tok_v_t, tok_f_t, lab_ids,
     commits both sit at the same level).  With shape-stabilised compiles
     the exact dense sweep already runs the full tree warm in ~8 s, so it
     remains the default (see ``CascadeLDA.__init__``)."""
+    if thinning % M:
+        raise ValueError(f"M={M} must divide thinning={thinning} "
+                         "(use select_merge_block)")
     V, K = state.n_vk.shape
     n_save = iters // thinning
     bps = thinning // M

@@ -269,6 +269,9 @@ def _train_loop_fused(
     per bucket per block.  Thinned φ/θ saves happen at exact ``thinning``
     multiples, always on freshly committed counts.
     """
+    if thinning % merge:
+        raise ValueError(f"merge={merge} must divide thinning={thinning} "
+                         "(use select_merge_block)")
     V, K = state.n_vk.shape
     G = len(state.z)
     n_save_blocks = iters // thinning
@@ -536,19 +539,13 @@ class LabeledLDA:
         return tuple(jnp.asarray(th[ix]) for ix in self.buckets.doc_idx)
 
     def _check_merge_block(self, merge: int) -> None:
-        """Bit-identical resume guard (round-4 ADVICE): the fused merge
-        block M is budget-dependent (select_merge_block caps it for tiny
-        totals), so a resumed run that recomputes a different M than the
-        checkpointed run silently draws a different chain.  Checkpoints
-        record the M in use; a mismatch on resume raises instead."""
-        ckpt = getattr(self, "_ckpt_merge_M", None)
-        if ckpt is not None and int(ckpt) != int(merge):
-            raise ValueError(
-                f"fused merge-block mismatch: checkpoint used M={ckpt}, "
-                f"this run selected M={merge} — pass total_iters= (the full "
-                f"planned sweep count of the original run) so the resumed "
-                f"chain is bit-identical")
-        self._merge_M = int(merge)
+        """Resume guard (shared helper, parallel/_util.py): the fused merge
+        block M is budget-dependent, so a resumed run that recomputes a
+        different M than the checkpointed run would silently draw a
+        different chain — raise instead."""
+        from ..parallel._util import check_merge_block
+
+        check_merge_block(self, merge)
 
     def run_training(
         self,

@@ -107,7 +107,10 @@ class LabeledLDAVI:
                 local_iters=int(local_iters), tau=float(tau),
                 kappa=float(kappa),
             )
-        _, e = cavi_step(  # one clean full pass to refresh γ + report ELBO
+        # one clean full CAVI pass: refreshes γ for every document (the
+        # truncated epoch permutations leave some docs an epoch stale) and
+        # the recorded ELBO belongs to the state we actually keep
+        self.state, e = cavi_step(
             self.state, self.tok_v, self.tok_f, self.labs, self.alpha, self.beta
         )
         self.elbo_history.append(float(e))

@@ -187,6 +187,9 @@ def make_fused_train_loop(
         """``start`` = global sweeps already done — block keys are
         ``fold_in(key, start + sweep_offset)`` so a chunked/resumed run
         draws the identical stream as an uninterrupted one."""
+        if thinning % M:
+            raise ValueError(f"M={M} must divide thinning={thinning} "
+                             "(use select_merge_block)")
         n_save_blocks = iters // thinning
         blocks_per_save = thinning // M
         rem = iters - n_save_blocks * thinning

@@ -30,6 +30,7 @@ import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..models.state import running_average
 from ..ops.hslda_gibbs import HSLDACounts, hslda_init_counts, hslda_z_sweep
 from ..ops.sampling import gumbel_argmax, truncated_normal
 
@@ -283,9 +284,7 @@ def make_hslda_train_loop(
             st, ph, s = carry
             st, _ = jax.lax.scan(one_cycle, st, block_keys)
             s = s + 1
-            f = s.astype(jnp.float32)
-            cur = chain_ph(st)
-            ph = jnp.where(f <= 1.0, cur, (f - 1.0) / f * ph + cur / f)
+            ph = running_average(ph, chain_ph(st), s)
             return (st, ph, s), None
 
         carry = (state, ph_hat, n_saves)

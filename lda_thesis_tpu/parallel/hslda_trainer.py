@@ -113,19 +113,17 @@ class DistributedHSLDA(HSLDA):
         # compiler crashes on monolithic multi-cycle scans — e.g. the
         # 8-chain opt-2 program at 25 cycles); bit-identical to one
         # dispatch by the cycle-counter RNG, one program shape per size
+        from ._util import dispatch_chunks
+
         it, thinning = int(it), int(thinning)
-        chunk = max((10 // thinning) * thinning, thinning)
-        done = 0
         state = self.state
-        while done < it:
-            step = min(chunk, it - done)
+        for step in dispatch_chunks(it, thinning, limit=10):
             state, ph_hat, n_saves = self._loops[opt](
                 self._master_key, state, self._sh_tok_v, self._sh_mask,
                 self._sh_labs, ph_hat, n_saves,
                 jnp.int32(self._cycles_done), iters=step, thinning=thinning,
             )
             self._cycles_done += step
-            done += step
         jax.block_until_ready(state)
         self.state = state
         self._n_saves = int(n_saves)

@@ -30,6 +30,8 @@ from ..data.encode import (
     encode_bow_types,
 )
 from ..models.labeled_lda import _test_loop
+from ._util import check_merge_block as _check_merge_block
+from ._util import dispatch_chunks as _dispatch_chunks
 from .fused_sharded import (
     FusedShardedState,
     init_fused_sharded,
@@ -231,30 +233,12 @@ class DistributedLabeledLDA:
 
     @staticmethod
     def _dispatch_chunks(iters: int, thinning: int, limit: int = 400):
-        """Split ``iters`` into dispatch chunks of at most ~``limit`` sweeps,
-        aligned to ``thinning`` boundaries so the thinned-save structure is
-        identical to a single dispatch (the trailing iters % thinning
-        sweeps run unsaved in the final chunk, the reference rule).  All
-        full chunks share one program shape, so only two executables cover
-        any budget."""
-        chunk = max((limit // thinning) * thinning, thinning)
-        done = 0
-        while done < iters:
-            step = min(chunk, iters - done)
-            yield step
-            done += step
+        """Thinning-aligned dispatch chunks (shared helper, _util.py)."""
+        return _dispatch_chunks(iters, thinning, limit)
 
     def _check_merge_block(self, merge: int) -> None:
-        """Bit-identical resume guard (round-4 ADVICE): checkpoints record
-        the fused merge-block M; a resume that recomputes a different M
-        raises instead of silently drawing a different chain."""
-        ckpt = getattr(self, "_ckpt_merge_M", None)
-        if ckpt is not None and int(ckpt) != int(merge):
-            raise ValueError(
-                f"fused merge-block mismatch: checkpoint used M={ckpt}, "
-                f"this run selected M={merge} — pass total_iters= (the full "
-                f"planned sweep count of the original run)")
-        self._merge_M = int(merge)
+        """Resume guard (shared helper, _util.py)."""
+        _check_merge_block(self, merge)
 
     # ------------------------------------------------------------ estimators
 

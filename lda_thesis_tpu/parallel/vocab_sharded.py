@@ -229,6 +229,9 @@ def make_vocab_sharded_train_loop(
     @partial(jax.jit, static_argnames=("iters", "thinning", "M"))
     def loop(key, state: VocabShardedTrainState, start, iters: int,
              thinning: int, M: int):
+        if thinning % M:
+            raise ValueError(f"M={M} must divide thinning={thinning} "
+                             "(use select_merge_block)")
         _block = _build_vblock(mesh, alpha, beta, M, V)
         n_save = iters // thinning
         bps = thinning // M
