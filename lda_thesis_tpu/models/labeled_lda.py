@@ -243,7 +243,7 @@ def _train_loop_compact(
 
 
 @partial(jax.jit, static_argnames=("iters", "thinning", "alpha", "beta",
-                                   "perplexity", "merge"))
+                                   "perplexity", "merge", "identity_slots"))
 def _train_loop_fused(
     key,
     state: FusedBucketState,
@@ -261,13 +261,16 @@ def _train_loop_fused(
     beta: float,
     perplexity: bool,
     merge: int,
+    identity_slots: bool = False,
 ):
     """Fused-kernel variant of :func:`_train_loop` (ops/gibbs_fused.py).
 
     Sweeps run in merge blocks of ``merge`` (a divisor of ``thinning``)
     against a block-frozen topic-word table — one whole-block Pallas kernel
     per bucket per block.  Thinned φ/θ saves happen at exact ``thinning``
-    multiples, always on freshly committed counts.
+    multiples, always on freshly committed counts.  ``identity_slots`` —
+    dense-K mode (LocalLDA: slot a = topic a, no per-slot table gather;
+    see ops/gibbs_fused.gather_cv).
     """
     if thinning % merge:
         raise ValueError(f"merge={merge} must divide thinning={thinning} "
@@ -285,7 +288,7 @@ def _train_loop_fused(
         return (
             fused_train_block_buckets(
                 k, state, toks_v_t, toks_f_t, lab_ids_t, lab_valid_tt,
-                alpha, beta, merge,
+                alpha, beta, merge, identity_slots=identity_slots,
             ),
             None,
         )
@@ -337,7 +340,7 @@ def _train_loop_fused(
         m_j = min(merge, left)
         state = fused_train_block_buckets(
             keys[off + j], state, toks_v_t, toks_f_t, lab_ids_t,
-            lab_valid_tt, alpha, beta, m_j,
+            lab_valid_tt, alpha, beta, m_j, identity_slots=identity_slots,
         )
         left -= m_j
     return state, ph_hat, th_hat, s, perps

@@ -27,14 +27,31 @@ from ..data.buckets import bucket_encode
 from ..data.textproc import prep_docs, split_sentences
 from ..data.vocab import Dictionary
 from ..ops.gibbs import init_bucket_counts, log_likelihood
-from .labeled_lda import _train_loop
+from ..ops.gibbs_fused import (
+    init_fused_buckets,
+    select_merge_block,
+    theta_from_fused,
+)
+from .labeled_lda import _train_loop, _train_loop_fused
 from .state import phi_from_counts, theta_from_counts
 
 __all__ = ["LocalLDA"]
 
 
 class LocalLDA:
-    """Sentence-level LDA with the reference's constructor semantics."""
+    """Sentence-level LDA with the reference's constructor semantics.
+
+    ``sweep`` selects the training kernel:
+
+    * ``"fused"`` (default) — the whole-sweep merge-block Pallas kernel
+      (ops/gibbs_fused.py) in **dense-K mode**: with every topic admissible
+      the compact slot axis degenerates to the topic axis itself
+      (``lab_ids[d, a] = a``), so LocalLDA rides the identical kernel and
+      its bitwise XLA twin that Labeled LDA uses — no per-slot table
+      gather (``identity_slots``), same merge-block approximation, same
+      chunk-invariant RNG.  Round-5 VERDICT item 2.
+    * ``"dense"`` — the exact per-position XLA sweep (round-2 path).
+    """
 
     def __init__(
         self,
@@ -47,6 +64,8 @@ class LocalLDA:
         seed: int = 0,
         k_pad: int = 128,
         n_buckets: int = 1,
+        sweep: str = "auto",
+        merge_every: int = 25,
     ):
         self.a = float(alpha)
         self.b = float(beta)
@@ -78,45 +97,116 @@ class LocalLDA:
         self.buckets = bucket_encode(doc_tups, n_buckets=n_buckets)
         self.toks_v = tuple(jnp.asarray(x) for x in self.buckets.tok_v)
         self.toks_f = tuple(jnp.asarray(x) for x in self.buckets.tok_f)
-        self.labs_t = tuple(
-            jnp.asarray(np.broadcast_to(mask, (len(ix), self.Kp)).copy())
-            for ix in self.buckets.doc_idx
-        )
         self.n_tokens = int(sum(int(x.sum()) for x in self.buckets.tok_f))
+
+        if sweep == "auto":
+            sweep = "fused"
+        self.sweep = sweep
+        self.merge_every = max(int(merge_every), 1)
 
         self._key = jax.random.PRNGKey(seed)
         self._key, k0 = jax.random.split(self._key)
-        self.counts = init_bucket_counts(
-            k0, self.toks_v, self.toks_f, self.labs_t, self.V
-        )
+        if sweep == "fused":
+            # dense-K identity slots: slot a = topic a (pad slots a >= K
+            # carry id 0 / valid 0, matching data/encode.compact_labels)
+            self.A = ((self.K + 7) // 8) * 8
+            ids = np.where(np.arange(self.A) < self.K,
+                           np.arange(self.A), 0).astype(np.int32)
+            val = (np.arange(self.A) < self.K).astype(np.float32)
+            self.lab_ids_t = tuple(
+                jnp.asarray(np.broadcast_to(ids, (len(ix), self.A)).copy())
+                for ix in self.buckets.doc_idx
+            )
+            self.lab_valid_t = tuple(
+                jnp.asarray(np.broadcast_to(val, (len(ix), self.A)).copy())
+                for ix in self.buckets.doc_idx
+            )
+            self._lab_valid_tt = tuple(lv.T for lv in self.lab_valid_t)
+            self._toks_v_t = tuple(tv.T for tv in self.toks_v)
+            self._toks_f_t = tuple(tf.T.astype(jnp.float32) for tf in self.toks_f)
+            self.counts = init_fused_buckets(
+                k0, self.toks_v, self.toks_f, self.lab_ids_t, self.lab_valid_t,
+                self.V, self.Kp,
+            )
+        else:
+            self.labs_t = tuple(
+                jnp.asarray(np.broadcast_to(mask, (len(ix), self.Kp)).copy())
+                for ix in self.buckets.doc_idx
+            )
+            self.counts = init_bucket_counts(
+                k0, self.toks_v, self.toks_f, self.labs_t, self.V
+            )
 
         self.ph_hat: Optional[np.ndarray] = None
         self.th_hat: Optional[np.ndarray] = None
 
     # ---------------------------------------------------------------- train
 
-    def run_training(self, iters: int, thinning: int) -> None:
-        """Gibbs sweeps + thinned φ/θ averaging (reference LocalLDA.py:86-109)."""
+    def _check_merge_block(self, merge: int) -> None:
+        """Bit-identical resume guard (shared helper, parallel/_util.py)."""
+        from ..parallel._util import check_merge_block
+
+        check_merge_block(self, merge)
+
+    def run_training(self, iters: int, thinning: int,
+                     total_iters: int = None) -> None:
+        """Gibbs sweeps + thinned φ/θ averaging (reference LocalLDA.py:86-109).
+
+        ``total_iters`` (chunked/resumed runs): the full planned sweep
+        count, so the fused path's merge block matches the uninterrupted
+        run's (chunk-invariant draws)."""
         self._key, k = jax.random.split(self._key)
-        avg0 = (
-            jnp.zeros((self.V, self.Kp), jnp.float32),
-            tuple(jnp.zeros(ndk.shape, jnp.float32) for ndk in self.counts.n_dk),
-            jnp.int32(0),
-        )
-        self.counts, ph_hat, th_hat_t, _, _ = _train_loop(
-            k,
-            self.counts,
-            self.toks_v,
-            self.toks_f,
-            self.labs_t,
-            self.topic_mask,
-            avg0,
-            iters=int(iters),
-            thinning=int(thinning),
-            alpha=self.a,
-            beta=self.b,
-            perplexity=False,
-        )
+        if self.sweep == "fused":
+            avg0 = (
+                jnp.zeros((self.V, self.Kp), jnp.float32),
+                tuple(
+                    jnp.zeros((len(ix), self.Kp), jnp.float32)
+                    for ix in self.buckets.doc_idx
+                ),
+                jnp.int32(0),
+            )
+            budget = int(total_iters) if total_iters else int(iters)
+            merge = select_merge_block(self.merge_every, int(thinning), budget)
+            self._check_merge_block(merge)
+            self.counts, ph_hat, th_hat_t, _, _ = _train_loop_fused(
+                k,
+                self.counts,
+                self.toks_v,
+                self.toks_f,
+                self._toks_v_t,
+                self._toks_f_t,
+                self.lab_ids_t,
+                self._lab_valid_tt,
+                self.topic_mask,
+                avg0,
+                iters=int(iters),
+                thinning=int(thinning),
+                alpha=self.a,
+                beta=self.b,
+                perplexity=False,
+                merge=int(merge),
+                identity_slots=True,
+            )
+        else:
+            avg0 = (
+                jnp.zeros((self.V, self.Kp), jnp.float32),
+                tuple(jnp.zeros(ndk.shape, jnp.float32) for ndk in self.counts.n_dk),
+                jnp.int32(0),
+            )
+            self.counts, ph_hat, th_hat_t, _, _ = _train_loop(
+                k,
+                self.counts,
+                self.toks_v,
+                self.toks_f,
+                self.labs_t,
+                self.topic_mask,
+                avg0,
+                iters=int(iters),
+                thinning=int(thinning),
+                alpha=self.a,
+                beta=self.b,
+                perplexity=False,
+            )
         self.ph_hat = np.asarray(ph_hat[:, : self.K]).T  # (K, V) ref orientation
         th = self.buckets.scatter_rows([np.asarray(t) for t in th_hat_t])
         self.th_hat = th[:, : self.K]
@@ -142,10 +232,18 @@ class LocalLDA:
 
     def get_theta(self) -> np.ndarray:
         """(D, K) symmetric-α θ (reference LocalLDA.py:116-119)."""
-        per_bucket = [
-            np.asarray(theta_from_counts(ndk, lb, self.a))
-            for ndk, lb in zip(self.counts.n_dk, self.labs_t)
-        ]
+        if self.sweep == "fused":
+            per_bucket = [
+                np.asarray(theta_from_fused(ndk, li, lv, self.a, self.Kp))
+                for ndk, li, lv in zip(
+                    self.counts.n_dk, self.lab_ids_t, self.lab_valid_t
+                )
+            ]
+        else:
+            per_bucket = [
+                np.asarray(theta_from_counts(ndk, lb, self.a))
+                for ndk, lb in zip(self.counts.n_dk, self.labs_t)
+            ]
         return self.buckets.scatter_rows(per_bucket)[:, : self.K]
 
     # ------------------------------------------------------------ diagnostics
@@ -165,7 +263,13 @@ class LocalLDA:
         ll = 0.0
         n = 0
         for g in range(self.buckets.n_buckets):
-            th = theta_from_counts(self.counts.n_dk[g], self.labs_t[g], self.a)
+            if self.sweep == "fused":
+                th = theta_from_fused(
+                    self.counts.n_dk[g], self.lab_ids_t[g], self.lab_valid_t[g],
+                    self.a, self.Kp,
+                )
+            else:
+                th = theta_from_counts(self.counts.n_dk[g], self.labs_t[g], self.a)
             llg, ng = log_likelihood(th, phi, self.toks_v[g], self.toks_f[g])
             ll += float(llg)
             n += int(ng)

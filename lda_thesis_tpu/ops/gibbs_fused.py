@@ -50,7 +50,16 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
+# Bumped whenever the fused sampler's floating-point op ORDER changes (even
+# value-preserving refactors like pre-biasing n_k by V*beta re-round
+# differently at large counts).  Checkpoints written by a fused-sweep run
+# carry this stamp; utils/checkpoint.restore_model warns when resuming a
+# chain recorded under a different formula — the draws will no longer be
+# bit-identical to the uninterrupted run of the recording version.
+SAMPLER_FORMULA_VERSION = 2
+
 __all__ = [
+    "SAMPLER_FORMULA_VERSION",
     "FusedLDAState",
     "FusedBucketState",
     "fused_pallas_supported",
@@ -111,7 +120,7 @@ def fused_pallas_supported() -> bool:
 
 
 def gather_cv(n_vk: jax.Array, tok_v_t: jax.Array, lab_ids: jax.Array,
-              chunk: int = 16) -> jax.Array:
+              chunk: int = 16, identity_slots: bool = False) -> jax.Array:
     """(U, A, D) per-slot topic-word counts ``n_vk[v_ud, lab_ids[d, a]]``.
 
     Chunked row gather + an MXU one-hot contraction for the lane pick; one
@@ -121,6 +130,15 @@ def gather_cv(n_vk: jax.Array, tok_v_t: jax.Array, lab_ids: jax.Array,
     (measured 20 ms/block at full corpus shapes vs 6 ms for the matmul
     form) — and is EXACT: each output row is ``x·1 + Σ x'·0``, bitwise
     equal to the picked element.
+
+    ``identity_slots=True`` — the dense-K case (all topics admissible,
+    LocalLDA): the caller guarantees ``lab_ids[d, a] == a`` for every valid
+    slot, so the lane pick degenerates to a slice + transpose of the row
+    gather, skipping the (A, K) contraction entirely.  Bitwise-equal to the
+    one-hot path on valid slots; pad slots (valid = 0) may hold different
+    — but equally unused — finite values (their posterior weight is exactly
+    ``0 * finite = 0`` either way, so draws and count updates are
+    bit-identical).
     """
     U, D = tok_v_t.shape
     A = lab_ids.shape[1]
@@ -128,16 +146,20 @@ def gather_cv(n_vk: jax.Array, tok_v_t: jax.Array, lab_ids: jax.Array,
     ch = chunk
     while U % ch:
         ch //= 2
-    oh_li = jax.nn.one_hot(lab_ids, K, dtype=jnp.float32)  # (D, A, K)
+    if not identity_slots:
+        oh_li = jax.nn.one_hot(lab_ids, K, dtype=jnp.float32)  # (D, A, K)
 
     def step(_, v):  # (ch, D)
         rows = n_vk[v]  # (ch, D, K)
-        # HIGHEST precision is required for exactness: the TPU default
-        # truncates the f32 counts to bf16 inside the MXU (verified
-        # non-exact on chip); bf16x3 reconstructs them bitwise
-        cv = jnp.einsum("cdk,dak->cad", rows, oh_li,
-                        precision=jax.lax.Precision.HIGHEST,
-                        preferred_element_type=jnp.float32)  # (ch, A, D)
+        if identity_slots:
+            cv = rows[:, :, :A].swapaxes(1, 2)  # (ch, A, D): slot a = topic a
+        else:
+            # HIGHEST precision is required for exactness: the TPU default
+            # truncates the f32 counts to bf16 inside the MXU (verified
+            # non-exact on chip); bf16x3 reconstructs them bitwise
+            cv = jnp.einsum("cdk,dak->cad", rows, oh_li,
+                            precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32)  # (ch, A, D)
         return None, cv
 
     _, cv = jax.lax.scan(step, None, tok_v_t.reshape(U // ch, ch, D))
@@ -209,8 +231,12 @@ def _build_block_kernel(M: int, U: int, A: int, D: int,
         a_ids = jax.lax.broadcasted_iota(jnp.int32, (A, D), 0)
         ndk = ndk_ref[:]
         # position loop unrolled inside the step — identical op order per
-        # position as the original (M, U) grid, so the XLA twin (and any
-        # previously recorded chain) stays bitwise-equal
+        # position as the original (M, U) grid, so the XLA twin stays
+        # bitwise-equal WITHIN this formula version.  Round-5 ADVICE: the
+        # pre-biased nkg ((n_k+Vβ)−f) can differ by an ULP from round-3's
+        # ((n_k−f)+Vβ), so cross-version resume parity is NOT claimed —
+        # checkpoints carry SAMPLER_FORMULA_VERSION and restore warns on
+        # mismatch (utils/checkpoint.py).
         for j in range(UB):
             f = f_ref[pl.ds(j, 1), 0, :]  # (1, D)
             z_start = z0_ref[pl.ds(j, 1), 0, :]  # (1, D) — block-start z
@@ -330,6 +356,7 @@ def fused_train_block(
     beta: float,
     M: int,
     vbeta: float | None = None,
+    identity_slots: bool = False,
 ) -> FusedLDAState:
     """``M`` Gibbs sweeps against the block-start table + one delta commit.
 
@@ -339,6 +366,11 @@ def fused_train_block(
     rows (parallel/vocab_sharded.py pads V to a multiple of the shard
     count) MUST pass the true ``V*beta`` or the denominator silently
     diverges from every other sampler path.
+
+    ``identity_slots`` — dense-K mode (see :func:`gather_cv`): the compact
+    slot axis IS the topic axis (``lab_ids[d, a] == a`` on valid slots),
+    which is how LocalLDA (all K topics admissible, LocalLDA.py:60-84)
+    rides this kernel without a per-slot table gather.
     """
     U, D = tok_v_t.shape
     A = lab_ids.shape[1]
@@ -348,7 +380,8 @@ def fused_train_block(
     vbeta = jnp.asarray(vbeta, jnp.float32)  # traced: no per-split recompile
     tril = jnp.tril(jnp.ones((A, A), jnp.float32))
 
-    cv_all = gather_cv(state.n_vk, tok_v_t, lab_ids)
+    cv_all = gather_cv(state.n_vk, tok_v_t, lab_ids,
+                       identity_slots=identity_slots)
     # (A, D) frozen block-start totals, pre-biased by V*beta — the kernel
     # and its XLA twin divide by (nkg - own_token) directly
     nkg = state.n_k[lab_ids].T + vbeta
@@ -442,6 +475,7 @@ def fused_train_block_buckets(
     alpha: float,
     beta: float,
     M: int,
+    identity_slots: bool = False,
 ) -> FusedBucketState:
     """One ``M``-sweep merge block over all buckets.
 
@@ -456,7 +490,8 @@ def fused_train_block_buckets(
     ):
         st = FusedLDAState(z=state.z[g], n_dk=state.n_dk[g], n_vk=n_vk, n_k=n_k)
         st = fused_train_block(
-            jax.random.fold_in(key, g), st, tv, tf, li, lv, alpha, beta, M
+            jax.random.fold_in(key, g), st, tv, tf, li, lv, alpha, beta, M,
+            identity_slots=identity_slots,
         )
         n_vk, n_k = st.n_vk, st.n_k
         zs.append(st.z)

@@ -132,9 +132,9 @@ def svi_epoch(
     beta: float,
     t0: jax.Array,
     batch_size: int,
-    local_iters: int = 8,
-    tau: float = 64.0,
-    kappa: float = 0.7,
+    local_iters: int = 1,
+    tau: float = 1.0,
+    kappa: float = 0.8,
 ) -> VIState:
     """One stochastic-VI epoch (Hoffman '13): shuffled minibatches, the
     LOCAL variational parameters γ iterated ``local_iters`` times per batch
@@ -148,9 +148,14 @@ def svi_epoch(
       per-epoch ρ fixed across all batches of the epoch, so epoch 0 ran
       every batch at ρ=1 (each batch fully *replacing* λ);
     * γ is optimised for ``local_iters`` inner iterations per batch (warm-
-      started from its previous visit) before each global step — with a
-      single local step γ lags λ badly at large K (depth-3 record: AUC
-      0.8025 vs CAVI's 0.8979).
+      started from its previous visit) before each global step.
+
+    Defaults mirror the swept winners baked into
+    ``LabeledLDAVI.fit_svi`` (benchmarks/svi_sweep.py: local_iters=1,
+    τ₀=1, κ=0.8 → AUC 0.9036/0.9091/0.8945 at depths 1/2/3) — round-5
+    ADVICE: the old defaults here (8, 64.0) were a known-bad schedule on
+    this corpus (τ₀≥64 starves λ of early signal, AUC ~0.55), so a direct
+    ``svi_epoch`` caller now gets the tuned schedule too.
 
     Returns the updated state; the caller advances its counter by the
     number of batches per epoch (``D // batch_size``)."""

@@ -255,7 +255,14 @@ def make_hslda_train_loop(
     iters, thinning)`` → ``(state, ph_hat (C, K, V), n_saves)``;
     iters/thinning static, ``start`` = cycles already done (chunk-invariant
     RNG).  ``ph_hat``/``n_saves`` thread through chunked calls so a
-    checkpointed run keeps one continuous running mean."""
+    checkpointed run keeps one continuous running mean.
+
+    Numerics note (round-5 ADVICE): the in-jit ``chain_ph`` running mean
+    accumulates in float32 (the host-side path it replaced in round 3 used
+    float64), so recorded ph_hat/AUC carry small (<1e-6-scale) drift
+    relative to round-3 records — distinct from the documented RNG-stream
+    change, and irrelevant to within-version bit-identity, which is what
+    the resume tests assert."""
     _step = _build_cycle(mesh, n_chains, D_total, alpha, aprime, gamma,
                          mu, sigma, xi, opt)
 

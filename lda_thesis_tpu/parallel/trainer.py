@@ -279,6 +279,11 @@ class DistributedLabeledLDA:
         bows = [self.dicti.doc2bow(doc) for doc in newdocs]
         tok_v, tok_f = encode_bow_types(bows)
         if self.table_shard == "vocab":
+            if chain not in (None, 0):
+                raise ValueError(
+                    "table_shard='vocab' trains a single chain; per-chain "
+                    f"diagnostics (chain={chain!r}) are not available — pass "
+                    "chain=None (or 0) for the pooled phi")
             phi_vk = jnp.asarray(np.asarray(self.state.ph_hat)[: self.V])
         elif chain is None:
             phi_vk = self.state.ph_hat.mean(axis=0)  # (V, Kp)

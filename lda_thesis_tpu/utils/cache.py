@@ -41,8 +41,11 @@ def _repo_cache() -> str:
 
 
 def _seed_from(shipped: str, active: str) -> None:
-    """Hardlink (or copy) shipped cache entries into the active dir so
-    reads hit them without ever writing back into the repo."""
+    """Copy shipped cache entries into the active dir so reads hit them
+    without ever writing back into the repo.  A plain copy (never a
+    hardlink — round-5 ADVICE): a shared inode would let any in-place
+    writer in the active dir silently mutate the "read-only" shipped repo
+    cache; ~30 MB of duplicated bytes buys real isolation."""
     try:
         names = os.listdir(shipped)
     except OSError:
@@ -53,12 +56,9 @@ def _seed_from(shipped: str, active: str) -> None:
             continue
         src = os.path.join(shipped, name)
         try:
-            os.link(src, dst)
+            shutil.copy2(src, dst)
         except OSError:
-            try:
-                shutil.copy2(src, dst)
-            except OSError:
-                pass
+            pass
 
 
 def enable_persistent_cache(path: str | None = None) -> str | None:

@@ -105,11 +105,21 @@ def save_model(path: str, model, extra_meta: Dict[str, Any] = None) -> None:
                         merge_M=getattr(model, "_merge_M", None),
                         labelmap=model.labelmap,
                         cur_perplx=list(map(float, model.cur_perplx)))
+            if model.sweep == "fused":
+                from ..ops.gibbs_fused import SAMPLER_FORMULA_VERSION
+
+                meta["sampler_formula"] = SAMPLER_FORMULA_VERSION
         else:
             if model.ph_hat is not None:
                 arrays.update(ph_hat=model.ph_hat, th_hat=model.th_hat)
             meta.update(alpha=model.a, beta=model.b, K=model.K, Kp=model.Kp,
-                        V=model.V, D=model.D, token2id=model.word2id.token2id)
+                        V=model.V, D=model.D, token2id=model.word2id.token2id,
+                        sweep=model.sweep,
+                        merge_M=getattr(model, "_merge_M", None))
+            if model.sweep == "fused":
+                from ..ops.gibbs_fused import SAMPLER_FORMULA_VERSION
+
+                meta["sampler_formula"] = SAMPLER_FORMULA_VERSION
     elif kind == "CascadeLDA":
         arrays.update(ph=model.ph)
         meta.update(alpha=model.alpha, beta=model.beta, K=model.K, V=model.V,
@@ -171,7 +181,7 @@ def restore_model(path: str, model) -> Dict[str, Any]:
                 f"bucket count mismatch: checkpoint {G}, model {len(model.counts.z)}"
             )
         sweep = meta.get("sweep", "dense")
-        if kind == "LabeledLDA" and sweep != model.sweep:
+        if sweep != model.sweep:
             raise ValueError(
                 f"sweep kernel mismatch: checkpoint {sweep!r}, model "
                 f"{model.sweep!r} (construct with sweep={sweep!r})"
@@ -198,8 +208,25 @@ def restore_model(path: str, model) -> Dict[str, Any]:
         if kind == "LabeledLDA":
             model.cur_perplx = list(meta.get("cur_perplx", []))
             model._avg_s = int(meta.get("avg_s", 0))
-            if meta.get("merge_M") is not None:
-                model._ckpt_merge_M = int(meta["merge_M"])
+        if meta.get("merge_M") is not None:
+            model._ckpt_merge_M = int(meta["merge_M"])
+        if sweep == "fused":
+            from ..ops.gibbs_fused import SAMPLER_FORMULA_VERSION
+
+            # round-5 ADVICE: the fused sampler's FP rounding order can
+            # change between versions; chunk-invariant bit-identity only
+            # holds within one formula version, so cross-version resumes
+            # warn instead of silently drawing a different chain.
+            got = meta.get("sampler_formula")
+            if got is not None and int(got) != SAMPLER_FORMULA_VERSION:
+                import warnings
+
+                warnings.warn(
+                    f"checkpoint was recorded with fused sampler formula "
+                    f"v{got}, current is v{SAMPLER_FORMULA_VERSION}: the "
+                    f"resumed chain is statistically valid but not "
+                    f"bit-identical to an uninterrupted run of either "
+                    f"version", stacklevel=2)
     elif kind == "CascadeLDA":
         model.ph = np.asarray(arrays["ph"])
     elif kind == "HSLDA":

@@ -212,3 +212,56 @@ def test_gather_and_slot_pick_match_take_along_axis():
     want_z = np.take_along_axis(np.asarray(lab_ids), np.asarray(z).T,
                                 axis=1).T
     np.testing.assert_array_equal(got_z, want_z)
+
+
+# --------------------------------------------------------------------------
+# dense-K (identity-slots) mode — the LocalLDA path (round-5 VERDICT item 2)
+# --------------------------------------------------------------------------
+
+
+def _identity_problem(seed=3, Kt=6):
+    """All-topics-admissible problem: slot a = topic a (LocalLDA layout)."""
+    rng = np.random.default_rng(seed)
+    tok_v = rng.integers(0, V, size=(D, U)).astype(np.int32)
+    n_types = rng.integers(2, U + 1, size=(D,))
+    tok_f = (np.arange(U)[None, :] < n_types[:, None]).astype(np.int32)
+    tok_f *= rng.integers(1, 4, size=(D, U)).astype(np.int32)
+    ids = np.where(np.arange(A) < Kt, np.arange(A), 0).astype(np.int32)
+    val = (np.arange(A) < Kt).astype(np.float32)
+    lab_ids = np.broadcast_to(ids, (D, A)).copy()
+    lab_valid = np.broadcast_to(val, (D, A)).copy()
+    return (jnp.asarray(tok_v), jnp.asarray(tok_f), jnp.asarray(lab_ids),
+            jnp.asarray(lab_valid))
+
+
+def test_gather_cv_identity_slots_bitwise():
+    """identity_slots=True (slice+transpose) == one-hot gather on valid
+    slots, bitwise (ops/gibbs_fused.gather_cv docstring contract)."""
+    tok_v, tok_f, lab_ids, lab_valid = _identity_problem()
+    st = init_fused(jax.random.PRNGKey(2), tok_v, tok_f, lab_ids,
+                    lab_valid, V, K)
+    fast = np.asarray(gather_cv(st.n_vk, tok_v.T, lab_ids,
+                                identity_slots=True))
+    slow = np.asarray(gather_cv(st.n_vk, tok_v.T, lab_ids))
+    valid = np.asarray(lab_valid)[0] > 0  # same row for every doc
+    np.testing.assert_array_equal(fast[:, valid, :], slow[:, valid, :])
+
+
+@pytest.mark.parametrize("M", [1, 3])
+def test_identity_slots_block_bitwise_equal(M):
+    """A dense-K merge block with identity_slots=True draws the identical
+    chain as the generic compact path (pad-slot cv values are unused:
+    their posterior weight is exactly 0 either way)."""
+    tok_v, tok_f, lab_ids, lab_valid = _identity_problem()
+    key = jax.random.PRNGKey(11)
+    st0 = init_fused(jax.random.PRNGKey(4), tok_v, tok_f, lab_ids,
+                     lab_valid, V, K)
+    a = fused_train_block(key, st0, tok_v.T, tok_f.T.astype(jnp.float32),
+                          lab_ids, lab_valid.T, 0.1, 0.01, M)
+    b = fused_train_block(key, st0, tok_v.T, tok_f.T.astype(jnp.float32),
+                          lab_ids, lab_valid.T, 0.1, 0.01, M,
+                          identity_slots=True)
+    np.testing.assert_array_equal(np.asarray(a.z), np.asarray(b.z))
+    np.testing.assert_array_equal(np.asarray(a.n_dk), np.asarray(b.n_dk))
+    np.testing.assert_array_equal(np.asarray(a.n_vk), np.asarray(b.n_vk))
+    np.testing.assert_array_equal(np.asarray(a.n_k), np.asarray(b.n_k))

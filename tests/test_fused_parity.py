@@ -91,3 +91,33 @@ def test_fused_block_invariants_on_chip():
     assert float(st.n_dk.sum()) == total
     assert float(st.n_vk.min()) >= 0
     np.testing.assert_array_equal(np.asarray(st.n_k), np.asarray(st.n_vk).sum(0))
+
+
+def test_identity_slots_bitwise_on_chip():
+    """Dense-K mode (LocalLDA): the identity-slot gather (slice+transpose,
+    no one-hot MXU contraction) must leave the Pallas chain bitwise
+    unchanged vs the generic compact gather on the same problem."""
+    from lda_thesis_tpu.ops.gibbs_fused import fused_train_block, init_fused
+
+    rng = np.random.default_rng(12)
+    D, U, A, K, V, Kt = 512, 16, 8, 128, 300, 6
+    tok_v = rng.integers(0, V, size=(D, U)).astype(np.int32)
+    n_types = rng.integers(2, U + 1, size=(D,))
+    tok_f = (np.arange(U)[None, :] < n_types[:, None]).astype(np.int32)
+    tok_f *= rng.integers(1, 4, size=(D, U)).astype(np.int32)
+    ids = np.where(np.arange(A) < Kt, np.arange(A), 0).astype(np.int32)
+    val = (np.arange(A) < Kt).astype(np.float32)
+    lab_ids = jnp.asarray(np.broadcast_to(ids, (D, A)).copy())
+    lab_valid = jnp.asarray(np.broadcast_to(val, (D, A)).copy())
+    st0 = init_fused(jax.random.PRNGKey(5), jnp.asarray(tok_v),
+                     jnp.asarray(tok_f), lab_ids, lab_valid, V, K)
+    key = jax.random.PRNGKey(21)
+    tv_t = jnp.asarray(tok_v.T)
+    tf_t = jnp.asarray(tok_f.T.astype(np.float32))
+    a = fused_train_block(key, st0, tv_t, tf_t, lab_ids, lab_valid.T,
+                          0.1, 0.01, 5)
+    b = fused_train_block(key, st0, tv_t, tf_t, lab_ids, lab_valid.T,
+                          0.1, 0.01, 5, identity_slots=True)
+    np.testing.assert_array_equal(np.asarray(a.z), np.asarray(b.z))
+    np.testing.assert_array_equal(np.asarray(a.n_dk), np.asarray(b.n_dk))
+    np.testing.assert_array_equal(np.asarray(a.n_vk), np.asarray(b.n_vk))

@@ -69,3 +69,51 @@ def test_whole_doc_mode():
     assert m.D <= len(DOCS)  # only >1-type docs kept, no sentence explosion
     m.run_training(3, 3)
     assert m.get_theta().shape[1] == 3
+
+
+def test_dense_sweep_option_still_works():
+    m = LocalLDA(DOCS, alpha=0.5, beta=0.1, K=4, seed=0, sweep="dense")
+    m.run_training(6, 3)
+    np.testing.assert_allclose(m.get_phi().sum(axis=1), 1.0, rtol=1e-4)
+    np.testing.assert_allclose(m.get_theta().sum(axis=1), 1.0, rtol=1e-4)
+
+
+def test_fused_checkpoint_resume_bit_identical(tmp_path):
+    """Kill/resume at the fused-kernel merge-block boundary reproduces the
+    uninterrupted chain bit-for-bit (chunk-invariant RNG + merge guard)."""
+    from lda_thesis_tpu.utils.checkpoint import restore_model, save_model
+
+    # same call sequence as the resumed run (the per-call key split is part
+    # of the draw stream, exactly as in the L-LDA resume tests)
+    full = LocalLDA(DOCS, alpha=0.5, beta=0.1, K=4, seed=3)
+    full.run_training(4, 4, total_iters=8)
+    full.run_training(4, 4, total_iters=8)
+
+    part = LocalLDA(DOCS, alpha=0.5, beta=0.1, K=4, seed=3)
+    part.run_training(4, 4, total_iters=8)
+    save_model(str(tmp_path / "ck"), part, {"iters_done": 4})
+
+    resumed = LocalLDA(DOCS, alpha=0.5, beta=0.1, K=4, seed=3)
+    restore_model(str(tmp_path / "ck"), resumed)
+    resumed.run_training(4, 4, total_iters=8)
+
+    for a, b in zip(full.counts.z, resumed.counts.z):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(
+        np.asarray(full.counts.n_vk), np.asarray(resumed.counts.n_vk))
+
+
+def test_fused_vs_dense_same_structure():
+    """Both kernels learn on the same corpus; fused perplexity lands in the
+    same regime as the exact dense sweep (merge-block approximation)."""
+    md = LocalLDA(DOCS, alpha=0.5, beta=0.1, K=4, seed=0, sweep="dense")
+    md.run_training(20, 10)
+    mf = LocalLDA(DOCS, alpha=0.5, beta=0.1, K=4, seed=0)
+    mf.run_training(20, 10)
+    pd_, pf = md.perplexity(), mf.perplexity()
+    # different draw streams on a 16-doc toy corpus leave real spread
+    # (measured: fused 12.5 vs dense 21.3, V=27); both must beat the
+    # uniform model and stay within one small multiple of each other —
+    # real-corpus quality parity is benchmarks/run_parity.py's job
+    assert 1.0 < pf < md.V and 1.0 < pd_ < md.V
+    assert pf < 3.0 * pd_ and pd_ < 3.0 * pf
