@@ -29,6 +29,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--stem", action="store_true", help="Porter-stem tokens")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--topwords", type=int, default=10)
+    p.add_argument("--sweep", choices=["auto", "fused", "dense"],
+                   default="auto",
+                   help="training kernel: fused merge-block Pallas kernel "
+                        "(default) or the exact dense XLA sweep")
+    p.add_argument("--merge-every", type=int, default=1,
+                   help="fused path: sweeps per topic-word table commit "
+                        "(M=1 matches the exact sampler's quality; larger "
+                        "M trades perplexity for wall)")
     return p
 
 
@@ -53,6 +61,7 @@ def main(argv=None) -> None:
     model = LocalLDA(
         docs, alpha=opt.alpha, beta=opt.beta, K=opt.K,
         local_lda=not opt.no_sentences, stem=opt.stem, seed=opt.seed,
+        sweep=opt.sweep, merge_every=opt.merge_every,
     )
     print(f"LocalLDA: D={model.D} sentence-docs, V={model.V}, K={model.K}")
     model.run_training(opt.it, opt.thinning)

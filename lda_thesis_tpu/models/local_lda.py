@@ -51,6 +51,14 @@ class LocalLDA:
       gather (``identity_slots``), same merge-block approximation, same
       chunk-invariant RNG.  Round-5 VERDICT item 2.
     * ``"dense"`` — the exact per-position XLA sweep (round-2 path).
+
+    ``merge_every`` defaults to **1** (one table commit per sweep — textbook
+    single-merge AD-LDA), unlike Labeled LDA's 25: with all K topics free,
+    unsupervised mixing is far more sensitive to a stale topic-word table
+    than the label-masked sampler (measured at K=20, (100; 10), seed 42:
+    perplexity 1130.9 / 1158.5 / 1226.8 / 1317.9 at M=1/2/5/10 vs the exact
+    dense sweep's 1141.6 — M=1 matches-or-beats exact at 1.7 s warm train
+    vs the dense sweep's 46.9 s; M≥2 trades real quality for little wall).
     """
 
     def __init__(
@@ -65,7 +73,7 @@ class LocalLDA:
         k_pad: int = 128,
         n_buckets: int = 1,
         sweep: str = "auto",
-        merge_every: int = 25,
+        merge_every: int = 1,
     ):
         self.a = float(alpha)
         self.b = float(beta)

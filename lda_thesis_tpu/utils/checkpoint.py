@@ -128,6 +128,7 @@ def save_model(path: str, model, extra_meta: Dict[str, Any] = None) -> None:
         arrays.update(
             z=model.counts.z, n_dk=model.counts.n_dk, n_vk=model.counts.n_vk,
             n_k=model.counts.n_k, eta=model.eta, a=model.a, beta_vec=model.beta,
+            master_key=np.asarray(model._master_key),
         )
         if model.ph is not None:
             arrays.update(ph=model.ph, th=model.th)
@@ -135,6 +136,7 @@ def save_model(path: str, model, extra_meta: Dict[str, Any] = None) -> None:
                     alpha=model.alpha, aprime=model.aprime, gamma=model.gamma,
                     mu=model.mu, sigma=model.sigma, xi=model.xi,
                     avg_s=int(getattr(model, "_avg_s", 0)),
+                    cycles_done=int(getattr(model, "_cycles_done", 0)),
                     labelmap=model.labelmap, token2id=model.w_to_v)
     else:
         raise TypeError(f"unknown model kind: {kind}")
@@ -245,5 +247,11 @@ def restore_model(path: str, model) -> Dict[str, Any]:
             model.ph = np.asarray(arrays["ph"])
             model.th = np.asarray(arrays["th"])
         model._avg_s = int(meta.get("avg_s", 0))
+        # chunk-invariant training RNG (whole-run loop): the master key is
+        # fixed at construction of the RECORDING run, so it must round-trip
+        # (older checkpoints predate it — keep the constructor's)
+        if "master_key" in arrays:
+            model._master_key = jnp.asarray(arrays["master_key"])
+        model._cycles_done = int(meta.get("cycles_done", 0))
     model._key = jnp.asarray(arrays["rng_key"])
     return meta
