@@ -113,6 +113,69 @@ def _train_cycle(key, counts, tok_v, mask, labs, eta, a, beta,
     return counts, eta_new, a_new, beta_new, zbar, mean_a
 
 
+@partial(jax.jit, static_argnames=("opt", "gamma", "xi", "iters", "thinning"))
+def _train_loop_hslda(key, counts, eta, a, beta, ph_hat, th_hat, n_saves,
+                      start, tok_v, mask, labs, stirling_logs,
+                      lab_pos_ids, lab_pos_valid, mu, sigma, aprime, alpha,
+                      gamma: float, xi: float, opt: int,
+                      iters: int, thinning: int):
+    """Whole-run training loop: ``iters`` blocked-Gibbs cycles in ONE
+    dispatch (round-5 VERDICT item 3 — the per-cycle dispatch loop paid
+    ~0.4 s of tunnel overhead per cycle, a large fraction of the 7–18 s
+    warm wall).  Mirrors parallel/hslda_sharded.make_hslda_train_loop:
+
+    * chunk-invariant RNG — cycle i of the run draws from
+      ``fold_in(key, start + i)``, so a chunked / checkpointed / resumed
+      run is bit-identical to an uninterrupted one;
+    * thinned φ̂/z̄ running means fold in on save-block boundaries inside
+      the scan.  They accumulate in float32 (the host path they replace
+      used float64), a documented sub-1e-6-scale drift — same note as the
+      sharded loop.
+    """
+    n_blocks = iters // thinning
+    rem = iters - n_blocks * thinning
+    keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
+        start + jnp.arange(max(iters, 1), dtype=jnp.int32))
+    n_d = jnp.maximum(mask.sum(axis=1), 1).astype(jnp.float32)
+
+    def one_cycle(st, k):
+        counts, eta, a, beta = st
+        counts, eta, a, beta, _, _ = _train_cycle(
+            k, counts, tok_v, mask, labs, eta, a, beta, stirling_logs,
+            mu, sigma, aprime, alpha, gamma=gamma, xi=xi, opt=opt,
+            lab_pos_ids=lab_pos_ids, lab_pos_valid=lab_pos_valid,
+        )
+        return (counts, eta, a, beta), None
+
+    def cur_estimates(counts):
+        n_kv = counts.n_vk.astype(jnp.float32).T  # (K, V) unsmoothed
+        cur_ph = n_kv / jnp.maximum(n_kv.sum(axis=1, keepdims=True), 1.0)
+        cur_th = counts.n_dk.astype(jnp.float32) / n_d[:, None]
+        return cur_ph, cur_th
+
+    def save_block(carry, block_keys):
+        st, ph, th, s = carry
+        st, _ = jax.lax.scan(one_cycle, st, block_keys)
+        cur_ph, cur_th = cur_estimates(st[0])
+        s = s + 1
+        f = s.astype(jnp.float32)
+        ph = jnp.where(f <= 1.0, cur_ph, (f - 1.0) / f * ph + cur_ph / f)
+        th = jnp.where(f <= 1.0, cur_th, (f - 1.0) / f * th + cur_th / f)
+        return (st, ph, th, s), None
+
+    carry = ((counts, eta, a, beta), ph_hat, th_hat, n_saves)
+    if n_blocks:
+        carry, _ = jax.lax.scan(
+            save_block, carry,
+            keys[: n_blocks * thinning].reshape(n_blocks, thinning, 2))
+    (counts, eta, a, beta), ph_hat, th_hat, n_saves = carry
+    if rem:
+        (counts, eta, a, beta), _ = jax.lax.scan(
+            one_cycle, (counts, eta, a, beta),
+            keys[n_blocks * thinning : iters])
+    return counts, eta, a, beta, ph_hat, th_hat, n_saves
+
+
 @partial(jax.jit, static_argnames=("it", "thinning"))
 def _test_loop(key, tok_v, mask, init_phi, sweep_phi, alpha_beta,
                it: int, thinning: int):
@@ -245,6 +308,13 @@ class HSLDA:
         self.ph: Optional[np.ndarray] = None  # thinned (K, V) φ̂
         self.th: Optional[np.ndarray] = None  # thinned (D, K) z̄
 
+        # chunk-invariant RNG for the whole-run training loop: cycle i of
+        # the run draws from fold_in(master, i) with i counted globally, so
+        # chunked/checkpointed runs are bit-identical to uninterrupted ones
+        # (same scheme/constant as parallel/hslda_trainer.DistributedHSLDA)
+        self._master_key = jax.random.fold_in(self._key, 0x45D)
+        self._cycles_done = 0
+
     def _term_to_id(self, term: str) -> int:
         tid = self.w_to_v.get(term)
         if tid is None:
@@ -265,34 +335,49 @@ class HSLDA:
 
     def run_training(self, it: int = 25, thinning: int = 5, opt: int = 1,
                      continue_avg: bool = False) -> None:
-        """Blocked-Gibbs cycles with thinned φ̂/z̄ averaging (HSLDA.py:312-333).
+        """Blocked-Gibbs cycles with thinned φ̂/z̄ averaging (HSLDA.py:312-333)
+        — ONE whole-run jitted dispatch per ≤10-cycle chunk
+        (:func:`_train_loop_hslda`; the round-4 per-cycle dispatch loop paid
+        ~0.4 s of tunnel overhead × cycles, round-5 VERDICT item 3).
 
         ``continue_avg=True`` carries the thinned means across calls (for
         checkpointed / chunked training); the default restarts them each
-        call, as the reference's per-call local counter does.
+        call, as the reference's per-call local counter does.  Chunked /
+        resumed runs are bit-identical to uninterrupted ones with the same
+        call structure (chunk-invariant cycle RNG).
         """
-        s = int(getattr(self, "_avg_s", 0)) if (continue_avg and self.ph is not None) else 0
-        for i in range(int(it)):
-            self._key, k = jax.random.split(self._key)
-            (self.counts, self.eta, self.a, self.beta, zbar, mean_a) = _train_cycle(
-                k, self.counts, self.tok_v, self.mask, self.labs,
-                self.eta, self.a, self.beta, self._stirling_logs,
-                self.mu, self.sigma, self.aprime, self.alpha,
-                gamma=self.gamma, xi=self.xi, opt=int(opt),
-                lab_pos_ids=self._lab_pos_ids,
-                lab_pos_valid=self._lab_pos_valid,
+        from ..parallel._util import dispatch_chunks
+
+        it, thinning = int(it), int(thinning)
+        if continue_avg and self.ph is not None:
+            s = jnp.int32(int(getattr(self, "_avg_s", 0)))
+            ph = jnp.asarray(self.ph, jnp.float32)
+            th = jnp.asarray(self.th, jnp.float32)
+        else:
+            s = jnp.int32(0)
+            ph = jnp.zeros((self.K, self.V), jnp.float32)
+            th = jnp.zeros((self.D, self.K), jnp.float32)
+        counts, eta, a, beta = self.counts, self.eta, self.a, self.beta
+        # bounded dispatch chunks aligned to thinning (the tunnelled
+        # compiler chokes on monolithic multi-cycle scans; bit-identical to
+        # one dispatch by the cycle-counter RNG — same structure as
+        # parallel/hslda_trainer.DistributedHSLDA.run_training)
+        for step in dispatch_chunks(it, thinning, limit=10):
+            counts, eta, a, beta, ph, th, s = _train_loop_hslda(
+                self._master_key, counts, eta, a, beta, ph, th, s,
+                jnp.int32(self._cycles_done), self.tok_v, self.mask,
+                self.labs, self._stirling_logs, self._lab_pos_ids,
+                self._lab_pos_valid, self.mu, self.sigma, self.aprime,
+                self.alpha, gamma=self.gamma, xi=self.xi, opt=int(opt),
+                iters=step, thinning=thinning,
             )
-            if (i + 1) % thinning == 0:
-                s += 1
-                cur_ph = self.get_ph()
-                cur_th = np.asarray(zbar)
-                if s == 1:
-                    self.ph, self.th = cur_ph, cur_th
-                else:
-                    m = (s - 1) / s
-                    self.ph = m * self.ph + (1 - m) * cur_ph
-                    self.th = m * self.th + (1 - m) * cur_th
-        self._avg_s = s
+            self._cycles_done += step
+        jax.block_until_ready(counts)
+        self.counts, self.eta, self.a, self.beta = counts, eta, a, beta
+        self._avg_s = int(s)
+        if self._avg_s:
+            self.ph = np.asarray(ph)
+            self.th = np.asarray(th)
 
     # ------------------------------------------------------------------- test
 

@@ -87,3 +87,31 @@ def test_config_defaults_and_validation():
         RunConfig(label_mode="bogus")
     with pytest.raises(ValueError):
         GibbsConfig(alpha=-1)
+
+
+def test_hslda_chunked_resume_bit_identical(tmp_path):
+    """Single-chain HSLDA whole-run loop (round-5 VERDICT item 3): the
+    chunk-invariant cycle RNG makes a save/restore/continue run reproduce
+    ONE uninterrupted call bit-for-bit — counts, η, and the in-jit thinned
+    means included."""
+    p = str(tmp_path / "h")
+    full = HSLDA(DOCS, LABS, ["A", "B"], k=4, seed=3)
+    full.run_training(it=8, thinning=2, opt=1)
+
+    part = HSLDA(DOCS, LABS, ["A", "B"], k=4, seed=3)
+    part.run_training(it=4, thinning=2, opt=1)
+    save_model(p, part, {"iters_done": 4})
+
+    resumed = HSLDA(DOCS, LABS, ["A", "B"], k=4, seed=99)
+    meta = restore_model(p, resumed)
+    assert meta["iters_done"] == 4 and meta["cycles_done"] == 4
+    resumed.run_training(it=4, thinning=2, opt=1, continue_avg=True)
+
+    np.testing.assert_array_equal(
+        np.asarray(full.counts.z), np.asarray(resumed.counts.z))
+    np.testing.assert_array_equal(
+        np.asarray(full.counts.n_vk), np.asarray(resumed.counts.n_vk))
+    np.testing.assert_array_equal(
+        np.asarray(full.eta), np.asarray(resumed.eta))
+    np.testing.assert_array_equal(np.asarray(full.ph), np.asarray(resumed.ph))
+    np.testing.assert_array_equal(np.asarray(full.th), np.asarray(resumed.th))
