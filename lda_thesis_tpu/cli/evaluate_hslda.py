@@ -44,6 +44,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "(must be a multiple of -s; default: only at the end)")
     p.add_argument("--resume", action="store_true",
                    help="resume training from --checkpoint if it exists")
+    p.add_argument("--max-restarts", type=int, default=0, metavar="R",
+                   help="with --checkpoint: absorb up to R in-process "
+                        "training faults by restarting from the last "
+                        "durable checkpoint (utils/elastic.elastic_train)")
     p.add_argument("--n-chains", type=int, default=1,
                    help="parallel Gibbs chains (>1: sharded DistributedHSLDA, "
                         "chain-averaged predictions)")
@@ -87,33 +91,37 @@ def main(argv=None) -> None:
             mesh_chains -= 1
         mesh = make_mesh(n_data=opt.n_data, n_chains=mesh_chains,
                          devices=jax.devices()[: mesh_chains * opt.n_data])
-        model = DistributedHSLDA(train.docs, train.labs, list(train.labelset),
-                                 mesh=mesh, n_chains=opt.n_chains, **hyper)
+
+        def make_model():
+            return DistributedHSLDA(train.docs, train.labs,
+                                    list(train.labelset), mesh=mesh,
+                                    n_chains=opt.n_chains, **hyper)
     else:
-        model = HSLDA(train.docs, train.labs, list(train.labelset), **hyper)
+        def make_model():
+            return HSLDA(train.docs, train.labs, list(train.labelset), **hyper)
 
-    import os
-
-    from ..utils.checkpoint import restore_model, save_model
+    # ONE chunked-training loop for the whole framework (round-5 VERDICT
+    # item 7): utils/elastic handles chunking, atomic checkpoints, resume,
+    # and (--max-restarts) in-process fault recovery
+    from ..utils.elastic import ElasticGibbs, elastic_train
 
     save_every = opt.save_every or opt.it
     if opt.checkpoint and opt.save_every and save_every % opt.thinning:
         # alignment only matters when checkpoint chunking is requested;
         # otherwise trailing cycles simply run unsaved (reference rule)
         raise SystemExit("--save-every must be a multiple of -s (thinning)")
-    done = 0
-    if opt.resume and opt.checkpoint and os.path.exists(opt.checkpoint + ".npz"):
-        meta = restore_model(opt.checkpoint, model)
-        done = int(meta.get("iters_done", 0))
-        print(f"resumed from {opt.checkpoint} at cycle {done}")
-    while done < opt.it:
-        chunk = min(save_every, opt.it - done)
-        model.run_training(it=chunk, thinning=opt.thinning, opt=opt.opt,
-                           continue_avg=done > 0)
-        done += chunk
-        if opt.checkpoint:
-            save_model(opt.checkpoint, model, extra_meta={"iters_done": done})
-            print(f"checkpointed at cycle {done}/{opt.it}")
+    if opt.max_restarts > 0:
+        if not opt.checkpoint:
+            raise SystemExit("--max-restarts requires --checkpoint")
+        model = elastic_train(
+            make_model, opt.it, opt.thinning, opt.checkpoint, save_every,
+            max_restarts=opt.max_restarts, verbose=True, opt=opt.opt,
+        )
+    else:
+        eg = ElasticGibbs(make_model(), opt.checkpoint, resume=opt.resume,
+                          verbose=True)
+        eg.run(opt.it, opt.thinning, save_every, opt=opt.opt)
+        model = eg.model
 
     print("Testing test data...")
     scores = model.run_tests(test.docs, it=opt.test_it, s=opt.test_s)

@@ -14,7 +14,6 @@ mesh; combine with parallel/bootstrap.py for multi-host runs).
 from __future__ import annotations
 
 import argparse
-import os
 import pickle
 import time
 
@@ -55,6 +54,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "(must be a multiple of -s; default: only at the end)")
     p.add_argument("--resume", action="store_true",
                    help="resume training from --checkpoint if it exists")
+    p.add_argument("--max-restarts", type=int, default=0, metavar="R",
+                   help="with --checkpoint: absorb up to R in-process "
+                        "training faults by restarting from the last "
+                        "durable checkpoint (utils/elastic.elastic_train)")
+    p.add_argument("--progress", action="store_true",
+                   help="report tokens/s + ETA at dispatch-chunk boundaries "
+                        "(utils/tracing.Progress; no per-iteration syncs)")
+    p.add_argument("--trace", default=None, metavar="DIR",
+                   help="capture a TensorBoard-loadable device profile of "
+                        "the training phase into DIR (utils/tracing.trace)")
     p.add_argument("--n-chains", type=int, default=1,
                    help="independent Gibbs chains (distributed trainer)")
     p.add_argument("--n-data", type=int, default=1,
@@ -85,10 +94,13 @@ def make_config(opt) -> RunConfig:
 
 
 def _train_gibbs(cfg: RunConfig, opt, train):
-    """Construct + train the (possibly distributed) model, with optional
-    chunked checkpointing (kill the process mid-run, rerun with --resume,
-    and the final counts are bit-identical to the uninterrupted run)."""
+    """Construct + train the (possibly distributed) model through the ONE
+    chunked-training loop in the framework, utils/elastic.ElasticGibbs
+    (kill the process mid-run, rerun with --resume, and the final counts
+    are bit-identical to the uninterrupted run; --max-restarts additionally
+    absorbs in-process faults via elastic_train)."""
     from ..data.vocab import prune_dict
+    from ..utils.elastic import ElasticGibbs, elastic_train
 
     g = cfg.gibbs
     dicti = prune_dict(train.docs, lower=cfg.lower, upper=cfg.upper)
@@ -115,61 +127,43 @@ def _train_gibbs(cfg: RunConfig, opt, train):
                          devices=jax.devices()[: mesh_chains * cfg.n_data_shards])
         if opt.sweep == "compact":
             raise SystemExit("--sweep compact is single-chip only")
-        model = DistributedLabeledLDA(
-            train.docs, train.labs, list(train.labelset), dicti,
-            alpha=g.alpha, beta=g.beta, mesh=mesh, n_chains=cfg.n_chains,
-            seed=g.seed, sweep=opt.sweep, table_shard=table_shard,
-        )
 
-        save_every = opt.save_every or g.iters
-        if opt.checkpoint and opt.save_every and save_every % g.thinning:
-            raise SystemExit("--save-every must be a multiple of -s (thinning)")
-        done = 0
-        if opt.resume and opt.checkpoint and os.path.exists(opt.checkpoint + ".npz"):
-            from ..parallel.sharded_io import restore_sharded
+        def make_model():
+            return DistributedLabeledLDA(
+                train.docs, train.labs, list(train.labelset), dicti,
+                alpha=g.alpha, beta=g.beta, mesh=mesh, n_chains=cfg.n_chains,
+                seed=g.seed, sweep=opt.sweep, table_shard=table_shard,
+            )
 
-            meta = restore_sharded(opt.checkpoint, model)
-            done = int(meta.get("iters_done", 0))
-            print(f"resumed from {opt.checkpoint} at iteration {done}")
-        while done < g.iters:
-            chunk = min(save_every, g.iters - done)
-            model.run_training(chunk, g.thinning, total_iters=g.iters)
-            done += chunk
-            if opt.checkpoint:
-                from ..parallel.sharded_io import save_sharded
+        train_kw = {}
+    else:
+        from ..models.labeled_lda import LabeledLDA
 
-                save_sharded(opt.checkpoint, model, iters_done=done)
-                print(f"checkpointed at iteration {done}/{g.iters}")
-        return model
+        def make_model():
+            return LabeledLDA(
+                train.docs, train.labs, list(train.labelset), dicti,
+                alpha=g.alpha, beta=g.beta, seed=g.seed, sweep=opt.sweep,
+            )
 
-    from ..models.labeled_lda import LabeledLDA
-    from ..utils.checkpoint import restore_model, save_model
-
-    model = LabeledLDA(train.docs, train.labs, list(train.labelset), dicti,
-                       alpha=g.alpha, beta=g.beta, seed=g.seed,
-                       sweep=opt.sweep)
+        train_kw = {"perplexity": not opt.no_perplexity}
 
     save_every = opt.save_every or g.iters
     if opt.checkpoint and opt.save_every and save_every % g.thinning:
         raise SystemExit("--save-every must be a multiple of -s (thinning)")
-
-    done = 0
-    if opt.resume and opt.checkpoint and os.path.exists(opt.checkpoint + ".npz"):
-        meta = restore_model(opt.checkpoint, model)
-        done = int(meta.get("iters_done", 0))
-        print(f"resumed from {opt.checkpoint} at iteration {done}")
-
-    while done < g.iters:
-        chunk = min(save_every, g.iters - done)
-        model.run_training(chunk, g.thinning,
-                           perplexity=not opt.no_perplexity,
-                           continue_avg=done > 0,
-                           total_iters=g.iters)
-        done += chunk
-        if opt.checkpoint:
-            save_model(opt.checkpoint, model, extra_meta={"iters_done": done})
-            print(f"checkpointed at iteration {done}/{g.iters}")
-    return model
+    max_restarts = getattr(opt, "max_restarts", 0)
+    if max_restarts > 0:
+        if not opt.checkpoint:
+            raise SystemExit("--max-restarts requires --checkpoint")
+        return elastic_train(
+            make_model, g.iters, g.thinning, opt.checkpoint, save_every,
+            max_restarts=max_restarts, verbose=True, **train_kw,
+        )
+    eg = ElasticGibbs(make_model(), opt.checkpoint, resume=opt.resume,
+                      verbose=True)
+    eg.run(g.iters, g.thinning, save_every,
+           progress=True if getattr(opt, "progress", False) else None,
+           **train_kw)
+    return eg.model
 
 
 def main(argv=None) -> None:
@@ -183,23 +177,37 @@ def main(argv=None) -> None:
     t0 = time.time()
     train, test = split_corpus(cfg.file, d=cfg.depth, seed=opt.seed)
 
-    print("Starting training...")
-    if opt.engine == "vi":
-        from ..data.vocab import prune_dict
-        from ..models.labeled_lda_vi import LabeledLDAVI
+    import contextlib
 
-        dicti = prune_dict(train.docs, lower=cfg.lower, upper=cfg.upper)
-        model = LabeledLDAVI(
-            train.docs, train.labs, list(train.labelset), dicti,
-            alpha=g.alpha, beta=g.beta, seed=g.seed,
-        )
-        model.fit(iters=g.iters)
-        print("Testing test data...")
-        th = model.infer(test.docs, iters=g.iters)
-    else:
-        model = _train_gibbs(cfg, opt, train)
-        print("Testing test data...")
-        th = model.run_test(test.docs, cfg.test_iters, cfg.test_thinning)
+    from ..utils.tracing import annotate, trace
+
+    tracer = trace(opt.trace) if opt.trace else contextlib.nullcontext()
+    print("Starting training...")
+    with tracer:
+        if opt.engine == "vi":
+            from ..data.vocab import prune_dict
+            from ..models.labeled_lda_vi import LabeledLDAVI
+
+            dicti = prune_dict(train.docs, lower=cfg.lower, upper=cfg.upper)
+            model = LabeledLDAVI(
+                train.docs, train.labs, list(train.labelset), dicti,
+                alpha=g.alpha, beta=g.beta, seed=g.seed,
+            )
+            with annotate("train"):
+                model.fit(iters=g.iters)
+            print("Testing test data...")
+            with annotate("test"):
+                th = model.infer(test.docs, iters=g.iters)
+        else:
+            with annotate("train"):
+                model = _train_gibbs(cfg, opt, train)
+            print("Testing test data...")
+            with annotate("test"):
+                th = model.run_test(test.docs, cfg.test_iters,
+                                    cfg.test_thinning)
+    if opt.trace:
+        print(f"device profile written to {opt.trace} "
+              f"(view: tensorboard --logdir {opt.trace})")
     th = np.array(th)
 
     if cfg.pickle:

@@ -80,3 +80,18 @@ def test_elastic_exhausts_restarts(tmp_path):
                           max_restarts=2)
     finally:
         ElasticGibbs.run = orig
+
+
+def test_progress_reporting(tmp_path):
+    """ElasticGibbs drives utils/tracing.Progress at chunk boundaries."""
+    from lda_thesis_tpu.utils.elastic import ElasticGibbs
+    from lda_thesis_tpu.utils.tracing import Progress
+
+    model = _make_model()
+    lines = []
+    prog = Progress(total_iters=4, tokens_per_iter=model.n_tokens,
+                    interval=0.0, printer=lines.append)
+    eg = ElasticGibbs(model, str(tmp_path / "ck"), resume=False)
+    eg.run(4, 2, save_every=2, progress=prog, perplexity=False)
+    assert len(lines) == 2  # one report per chunk
+    assert "tokens/s" in lines[-1] and "[4/4]" in lines[-1]
