@@ -204,11 +204,57 @@ def run_cascade(it: int, s: int, seed: int, sweep: str = "dense",
     record(out)
 
 
+def run_hslda(it: int, s: int, seed: int, opt: int, n_chains: int = 1,
+              test_it: int = 250, test_s: int = 25) -> None:
+    """HSLDA quality row (round-5 VERDICT item 6): the CLI pipeline —
+    depth-3 prefix labels, UNSHUFFLED 90/10 split (reference
+    HSLDA.py:397-403), blocked-Gibbs training at the requested z-coupling
+    ``opt``, batch fold-in test, root column dropped and all-zero label
+    rows filtered exactly as cli/evaluate_hslda.py does.  ``n_chains > 1``
+    routes through DistributedHSLDA (chain-averaged Φ(η_c·z̄_c−ξ))."""
+    from lda_thesis_tpu.data.corpus import load_corpus, split_data
+    from lda_thesis_tpu.eval.metrics import binary_yreal, evaluate_ranking
+
+    t0 = time.time()
+    corpus = load_corpus(DATA, d=3, mode="prefix")
+    train, test = split_data(corpus, shuffle=False)
+    if n_chains > 1:
+        from lda_thesis_tpu.parallel import DistributedHSLDA
+
+        model = DistributedHSLDA(train.docs, train.labs,
+                                 list(train.labelset), n_chains=n_chains,
+                                 seed=seed)
+    else:
+        from lda_thesis_tpu.models.hslda import HSLDA
+
+        model = HSLDA(train.docs, train.labs, list(train.labelset),
+                      seed=seed)
+    t_built = time.time()
+    model.run_training(it=it, thinning=s, opt=opt)
+    t_trained = time.time()
+    scores = model.run_tests(test.docs, it=test_it, s=test_s)
+
+    y_bin = binary_yreal(test.labs, model.labelmap)
+    y_bin, sc = y_bin[:, 1:], np.asarray(scores)[:, 1:]
+    valid = y_bin.sum(axis=1) != 0
+    m = evaluate_ranking(sc[valid], y_bin[valid])
+    record({
+        "model": "hslda" if n_chains == 1 else "hslda-chains",
+        "it": it, "thinning": s, "seed": seed, "opt": opt,
+        "n_chains": n_chains, "K": model.K, "L": model.L, "V": model.V,
+        "test_it": test_it, "test_s": test_s,
+        "auc_roc": round(m["auc_roc"], 4), "one_hit": round(m["one_hit"], 4),
+        "two_hit": round(m["two_hit"], 4), "f1": round(m["f1_macro"], 4),
+        "train_s": round(t_trained - t_built, 1),
+        "wall_s": round(time.time() - t0, 1),
+    })
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--model",
                     choices=("llda", "llda-vi", "llda-svi", "llda-chains",
-                             "cascade"),
+                             "cascade", "hslda", "hslda-chains"),
                     required=True)
     ap.add_argument("--n-chains", type=int, default=8)
     ap.add_argument("--merge", type=int, default=5,
@@ -217,6 +263,8 @@ def main() -> None:
     ap.add_argument("--it", type=int, required=True)
     ap.add_argument("--s", type=int, required=True)
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--opt", type=int, default=1, choices=(1, 2, 3),
+                    help="HSLDA z-coupling variant (hslda models only)")
     ap.add_argument("--sweep", default="auto")
     ap.add_argument("--root-it", type=int, default=None)
     ap.add_argument("--root-s", type=int, default=None)
@@ -232,6 +280,10 @@ def main() -> None:
         run_llda_vi(args.depth, args.it, args.seed,
                     test_iters=args.test_it or 100,
                     svi=args.model == "llda-svi")
+    elif args.model in ("hslda", "hslda-chains"):
+        run_hslda(args.it, args.s, args.seed, opt=args.opt,
+                  n_chains=args.n_chains if args.model == "hslda-chains" else 1,
+                  test_it=args.test_it or 250, test_s=args.test_s or 25)
     else:
         run_cascade(args.it, args.s, args.seed, sweep=args.sweep,
                     root_it=args.root_it, root_s=args.root_s,
