@@ -54,6 +54,8 @@ def main() -> None:
 
     th_all = refeval.setup_theta(l1, l2, l3, model)
     y_all = refeval.binary_yreal(test_labs, model.labelmap)
+    row = {"model": "cascade-ref", "it": args.it, "thinning": args.s,
+           "seed": args.seed}
     for depth in (1, 2, 3):
         lab_level = [len(x) == depth for x in model.labelmap.keys()]
         inds = np.where(lab_level)[0]
@@ -63,11 +65,20 @@ def main() -> None:
         )
         y_bin, th = y_bin[valid], th[valid]
         tps, tns, fps, fns, fprs, tprs = refeval.rates(th, y_bin)
-        print(f"depth {depth}: AUC {refeval.macro_auc_roc(fprs, tprs):.4f} "
-              f"1hit {refeval.n_error(th, y_bin, 1):.4f} "
-              f"2hit {refeval.n_error(th, y_bin, 2):.4f} "
-              f"F1 {refeval.get_f1(tps, fps, tns, fns):.4f} "
+        row[f"auc_d{depth}"] = round(float(refeval.macro_auc_roc(fprs, tprs)), 4)
+        row[f"one_hit_d{depth}"] = round(float(refeval.n_error(th, y_bin, 1)), 4)
+        row[f"two_hit_d{depth}"] = round(float(refeval.n_error(th, y_bin, 2)), 4)
+        row[f"f1_d{depth}"] = round(float(refeval.get_f1(tps, fps, tns, fns)), 4)
+        print(f"depth {depth}: AUC {row[f'auc_d{depth}']:.4f} "
+              f"1hit {row[f'one_hit_d{depth}']:.4f} "
+              f"2hit {row[f'two_hit_d{depth}']:.4f} "
+              f"F1 {row[f'f1_d{depth}']:.4f} "
               f"(n={len(valid)})", flush=True)
+    row["wall_s"] = round(time.time() - t0, 1)
+    # raw JSONL record alongside the repo rows (round-5 VERDICT item 1)
+    from run_parity import record
+
+    record(row)
     print(f"total wall time: {time.time()-t0:.1f}s")
 
 

@@ -94,6 +94,50 @@ def main() -> None:
     assert table_sum == total, (table_sum, total)
     assert replicated_per_dev / sharded_per_dev >= S * 0.99
 
+    # ---- chains × vocab composition (round-5 VERDICT item 4): 4 chains
+    # over a (2, 4) mesh, each chain's table vocab-sharded over the data
+    # axis — per-device persistent V·K state is C_local·Vp/S·K instead of
+    # the replicated-chains trainer's C_local·V·K.
+    from lda_thesis_tpu.parallel.fused_sharded import shard_fused_corpus
+    from lda_thesis_tpu.parallel.vocab_sharded import (
+        init_vocab_chains,
+        make_vocab_chains_train_loop,
+    )
+
+    C, Sc = 4, 4
+    cmesh = make_mesh(n_chains=2, n_data=Sc)
+    Vc = 98_304
+    ctok_v = rng.integers(0, Vc, size=(D, U)).astype(np.int32)
+    ccorpus = shard_fused_corpus(cmesh, ctok_v, tok_f, lab_ids, lab_valid)
+    cstate = init_vocab_chains(jax.random.PRNGKey(2), cmesh, ccorpus,
+                               Vc, K, n_chains=C)
+    c_sharded = per_device_bytes(cstate.n_vk) + per_device_bytes(cstate.ph_hat)
+    # replicated-chains trainer holds C_local full tables + ph_hat per device
+    c_repl = (C // 2) * Vc * K * 4 * 2
+    cloop = make_vocab_chains_train_loop(
+        cmesh, C, alpha=0.1, beta=0.01, V=Vc, K=K, topic_mask=None,
+        corpus=ccorpus)
+    t0 = time.perf_counter()
+    cstate = cloop(jax.random.PRNGKey(3), cstate, jnp.int32(0), iters=4,
+                   thinning=2, M=2)
+    jax.block_until_ready(cstate.n_vk)
+    cwall = time.perf_counter() - t0
+    csum = float(np.asarray(cstate.n_vk)[0].sum())
+    print(json.dumps({
+        "mode": "chains_x_vocab",
+        "mesh": {"chains": 2, "data": Sc}, "n_chains": C,
+        "V": Vc, "K": K, "D": D,
+        "per_chain_table_MiB": round(Vc * K * 4 / 2**20, 1),
+        "persistent_VK_bytes_per_device_sharded": c_sharded,
+        "persistent_VK_bytes_per_device_replicated": c_repl,
+        "reduction_factor": round(c_repl / c_sharded, 2),
+        "counts_match_tokens": csum == total,
+        "train_iters": 4,
+        "wall_s": round(cwall, 2),
+    }))
+    assert csum == total, (csum, total)
+    assert c_repl / c_sharded >= Sc * 0.99
+
 
 if __name__ == "__main__":
     main()

@@ -120,16 +120,31 @@ def fused_pallas_supported() -> bool:
 
 
 def gather_cv(n_vk: jax.Array, tok_v_t: jax.Array, lab_ids: jax.Array,
-              chunk: int = 16, identity_slots: bool = False) -> jax.Array:
+              chunk: int = 16, identity_slots: bool = False,
+              max_transient_bytes: int = 2 << 30) -> jax.Array:
     """(U, A, D) per-slot topic-word counts ``n_vk[v_ud, lab_ids[d, a]]``.
 
-    Chunked row gather + an MXU one-hot contraction for the lane pick; one
-    invocation per merge block (the table is frozen inside a block, so
-    slots can be gathered in bulk).  The contraction replaces a
-    ``take_along_axis`` element gather — TPU element gathers serialise
-    (measured 20 ms/block at full corpus shapes vs 6 ms for the matmul
-    form) — and is EXACT: each output row is ``x·1 + Σ x'·0``, bitwise
-    equal to the picked element.
+    **Doc-major** row gather + an MXU one-hot contraction for the lane
+    pick; one invocation per merge block (the table is frozen inside a
+    block, so slots can be gathered in bulk).  Two round-5 profile findings
+    shape this:
+
+    * the row gather dominates the whole merge block (18 ms of a 28 ms
+      M=25 block at corpus shapes, TRACE_r05.json) and is LOCALITY bound:
+      bow type lists are v-ascending per document, so gathering along the
+      doc-major axis (consecutive indices ascending) runs ~2× faster than
+      the position-major transpose (6.8 ms vs 13.1 ms measured for the raw
+      gather, 9.2 ms vs 13.9 ms for gather+pick);
+    * the contraction replaces a ``take_along_axis`` element gather — TPU
+      element gathers serialise (20 ms/block measured vs 6 ms matmul form)
+      — and is EXACT: each output row is ``x·1 + Σ x'·0``, bitwise equal
+      to the picked element (HIGHEST precision: the default truncates the
+      f32 counts to bf16 in the MXU; bf16x3 reconstructs them bitwise).
+
+    The whole-U gather materialises a transient ``(D, U, K)`` f32 view
+    (~1 GiB at corpus shapes); when that would exceed
+    ``max_transient_bytes`` the gather falls back to the chunked scan over
+    U (same picks, bounded memory).
 
     ``identity_slots=True`` — the dense-K case (all topics admissible,
     LocalLDA): the caller guarantees ``lab_ids[d, a] == a`` for every valid
@@ -143,26 +158,32 @@ def gather_cv(n_vk: jax.Array, tok_v_t: jax.Array, lab_ids: jax.Array,
     U, D = tok_v_t.shape
     A = lab_ids.shape[1]
     K = n_vk.shape[1]
+    hp = dict(precision=jax.lax.Precision.HIGHEST,
+              preferred_element_type=jnp.float32)
+    if U * D * K * 4 <= max_transient_bytes:
+        rows = n_vk[tok_v_t.T]  # (D, U, K) — doc-major: ascending v rows
+        if identity_slots:
+            return rows[:, :, :A].transpose(1, 2, 0)  # (U, A, D)
+        oh_li = jax.nn.one_hot(lab_ids, K, dtype=jnp.float32)  # (D, A, K)
+        return jnp.einsum("duk,dak->uad", rows, oh_li, **hp)
+
     ch = chunk
     while U % ch:
         ch //= 2
     if not identity_slots:
         oh_li = jax.nn.one_hot(lab_ids, K, dtype=jnp.float32)  # (D, A, K)
+    tok_v = tok_v_t.T  # (D, U) doc-major
 
-    def step(_, v):  # (ch, D)
-        rows = n_vk[v]  # (ch, D, K)
+    def step(_, us):  # us: (ch,) position indices
+        rows = n_vk[tok_v[:, us]]  # (D, ch, K)
         if identity_slots:
-            cv = rows[:, :, :A].swapaxes(1, 2)  # (ch, A, D): slot a = topic a
+            cv = rows[:, :, :A].transpose(1, 2, 0)  # (ch, A, D)
         else:
-            # HIGHEST precision is required for exactness: the TPU default
-            # truncates the f32 counts to bf16 inside the MXU (verified
-            # non-exact on chip); bf16x3 reconstructs them bitwise
-            cv = jnp.einsum("cdk,dak->cad", rows, oh_li,
-                            precision=jax.lax.Precision.HIGHEST,
-                            preferred_element_type=jnp.float32)  # (ch, A, D)
+            cv = jnp.einsum("dck,dak->cad", rows, oh_li, **hp)  # (ch, A, D)
         return None, cv
 
-    _, cv = jax.lax.scan(step, None, tok_v_t.reshape(U // ch, ch, D))
+    _, cv = jax.lax.scan(
+        step, None, jnp.arange(U, dtype=jnp.int32).reshape(U // ch, ch))
     return cv.reshape(U, A, D)
 
 

@@ -103,8 +103,16 @@ def hslda_z_sweep(
     opt: int = 1,
     lab_pos_ids: jax.Array | None = None,  # (D, A) positive-label ids
     lab_pos_valid: jax.Array | None = None,  # (D, A) 1/0
+    V: int | None = None,
 ) -> Tuple[HSLDACounts, jax.Array]:
     """One full z-sweep; returns (new counts, mean_a = z̄ @ ηᵀ).
+
+    ``V`` — the TRUE vocabulary size for the ``V·γ`` smoothing denominator
+    (reference HSLDA.py:243).  Defaults to the table's own row count, which
+    is exact for unpadded tables; callers sweeping against a *padded*
+    transient table (parallel/hslda_sharded.py vocab-sharded mode pads V to
+    a multiple of the shard count) MUST pass the real ``V`` or the
+    denominator silently diverges from the replicated path.
 
     ``opt`` selects the coupling variant (reference HSLDA.py:240-261):
     1 — Gaussian kernel on positive labels, 2 — Φ(m−ξ) on positive labels,
@@ -120,7 +128,8 @@ def hslda_z_sweep(
     """
     D, N = tok_v.shape
     K = counts.n_dk.shape[1]
-    V = counts.n_vk.shape[0]
+    if V is None:
+        V = counts.n_vk.shape[0]
     L = labs.shape[1]
 
     n_d = jnp.maximum(mask.sum(axis=1), 1).astype(jnp.float32)  # (D,)

@@ -48,11 +48,19 @@ class HSLDAShardedState(NamedTuple):
     beta: jax.Array  # (C, K)
 
 
-def _specs(mesh):
+def _specs(mesh, table_shard: str = "replicated"):
+    """State shardings.  ``table_shard="vocab"`` (round-5 VERDICT item 4):
+    each chain's ``(V, K)`` table keeps its V axis sharded over ``data`` —
+    per-device persistent table memory C_local·V/S·K instead of
+    C_local·V·K (the axis that dominates the 64-chain north-star
+    footprint).  The cycle all_gathers a transient full view per chain and
+    psum_scatters the deltas back; counts are int32, so the vocab-sharded
+    run draws bit-identical chains to the replicated one."""
     return dict(
         z=P("chains", "data", None),
         n_dk=P("chains", "data", None),
-        n_vk=P("chains", None, None),
+        n_vk=(P("chains", "data", None) if table_shard == "vocab"
+              else P("chains", None, None)),
         n_k=P("chains", None),
         eta=P("chains", None, None),
         a=P("chains", "data", None),
@@ -80,11 +88,14 @@ def shard_hslda_corpus(mesh: Mesh, tok_v, mask, labs):
 def init_hslda_sharded(
     key, mesh: Mesh, tok_v, mask, labs, V: int, K: int, n_chains: int,
     alpha: float = 1.0, aprime: float = 1.0, mu: float = 0.0,
+    table_shard: str = "replicated",
 ) -> HSLDAShardedState:
     """Per-chain prior draws + per-(chain, shard) count init (HSLDA.py:109-137)."""
     local_chains = n_chains // mesh.shape["chains"]
     L = labs.shape[1]
-    sp = _specs(mesh)
+    S = mesh.shape["data"]
+    Vp = ((V + S - 1) // S) * S if table_shard == "vocab" else V
+    sp = _specs(mesh, table_shard)
 
     @partial(
         shard_map, mesh=mesh,
@@ -127,7 +138,12 @@ def init_hslda_sharded(
         z, n_dk, n_vk, n_k, eta, a, beta = jax.vmap(one_chain)(
             jnp.arange(local_chains)
         )
-        n_vk = jax.lax.psum(n_vk, "data")
+        if table_shard == "vocab":
+            n_vk = jnp.pad(n_vk, ((0, 0), (0, Vp - V), (0, 0)))
+            n_vk = jax.lax.psum_scatter(n_vk, "data", scatter_dimension=1,
+                                        tiled=True)
+        else:
+            n_vk = jax.lax.psum(n_vk, "data")
         n_k = jax.lax.psum(n_k, "data")
         return z, n_dk, n_vk, n_k, eta, a, beta
 
@@ -138,6 +154,7 @@ def _build_cycle(
     mesh: Mesh, n_chains: int, D_total: int,
     alpha: float, aprime: float, gamma: float,
     mu: float, sigma: float, xi: float, opt: int,
+    table_shard: str = "replicated", V: int = None,
 ):
     """The UNJITTED shard_map'd blocked-Gibbs cycle (z → η → a → m → β).
 
@@ -145,9 +162,18 @@ def _build_cycle(
     round-3 API); :func:`make_hslda_train_loop` scans it inside a single
     whole-run jit — one dispatch per ``run_training`` call, the same
     structure as parallel/fused_sharded.make_fused_train_loop (a nested
-    jit boundary per cycle costs ~0.4 s on the tunnelled backend)."""
+    jit boundary per cycle costs ~0.4 s on the tunnelled backend).
+
+    ``table_shard="vocab"`` (requires the true ``V``): persistent ``n_vk``
+    keeps its V axis sharded over ``data``; the cycle all_gathers a
+    transient full view per chain, sweeps against it with the true ``V·γ``
+    denominator, and psum_scatters the int32 deltas back — bit-identical
+    draws to the replicated path."""
     local_chains = n_chains // mesh.shape["chains"]
-    sp = _specs(mesh)
+    vocab = table_shard == "vocab"
+    if vocab and V is None:
+        raise TypeError("table_shard='vocab' requires the true vocab size V")
+    sp = _specs(mesh, table_shard)
     state_specs = (sp["z"], sp["n_dk"], sp["n_vk"], sp["n_k"], sp["eta"],
                    sp["a"], sp["beta"])
 
@@ -164,6 +190,10 @@ def _build_cycle(
         K = n_dk.shape[-1]
         L = labs.shape[1]
         S = st_logs.shape[0]
+        n_vk_local = n_vk
+        if vocab:
+            # block start: transient full table view per chain (rides ICI)
+            n_vk = jax.lax.all_gather(n_vk, "data", axis=1, tiled=True)
 
         def one_chain(j, z, n_dk, n_vk, n_k, eta, a, beta):
             kc = jax.random.fold_in(key, ci * 1009 + j)  # chain-replicated
@@ -176,6 +206,7 @@ def _build_cycle(
             new, _ = hslda_z_sweep(
                 kz_l, counts, tok_v, mask, labs, eta, a,
                 alpha_beta=alpha * beta, gamma=gamma, xi=xi, opt=opt,
+                V=V,
             )
             d_vk = new.n_vk - n_vk
             d_k = new.n_k - n_k
@@ -216,7 +247,12 @@ def _build_cycle(
         z, n_dk, d_vk, d_k, eta, a, beta = jax.vmap(
             one_chain, in_axes=(0,) * 8
         )(jnp.arange(local_chains), z, n_dk, n_vk, n_k, eta, a, beta)
-        n_vk = n_vk + jax.lax.psum(d_vk, "data")
+        if vocab:
+            # AD-LDA merge + re-shard in one collective (int32: exact)
+            n_vk = n_vk_local + jax.lax.psum_scatter(
+                d_vk, "data", scatter_dimension=1, tiled=True)
+        else:
+            n_vk = n_vk + jax.lax.psum(d_vk, "data")
         n_k = n_k + jax.lax.psum(d_k, "data")
         return z, n_dk, n_vk, n_k, eta, a, beta
 
@@ -245,6 +281,7 @@ def make_hslda_train_loop(
     mesh: Mesh, n_chains: int, stirling_logs, D_total: int,
     alpha: float = 1.0, aprime: float = 1.0, gamma: float = 1.0,
     mu: float = 0.0, sigma: float = 1.0, xi: float = 0.0, opt: int = 1,
+    table_shard: str = "replicated", V: int = None,
 ):
     """Whole-run jitted multi-cycle trainer: ``lax.scan`` over save blocks
     of blocked-Gibbs cycles with the thinned per-chain φ̂ running mean
@@ -262,9 +299,14 @@ def make_hslda_train_loop(
     float64), so recorded ph_hat/AUC carry small (<1e-6-scale) drift
     relative to round-3 records — distinct from the documented RNG-stream
     change, and irrelevant to within-version bit-identity, which is what
-    the resume tests assert."""
+    the resume tests assert.
+
+    ``table_shard="vocab"`` — vocab-sharded persistent tables (see
+    :func:`_specs`): ``ph_hat`` is then (C, K, Vp) with its V axis sharded
+    over ``data`` so no replicated V-sized array survives the loop."""
+    vocab = table_shard == "vocab"
     _step = _build_cycle(mesh, n_chains, D_total, alpha, aprime, gamma,
-                         mu, sigma, xi, opt)
+                         mu, sigma, xi, opt, table_shard=table_shard, V=V)
 
     @partial(jax.jit, static_argnames=("iters", "thinning"))
     def loop(key, state: HSLDAShardedState, tok_v, mask, labs,
@@ -285,7 +327,13 @@ def make_hslda_train_loop(
 
         def chain_ph(st):
             n_kv = st.n_vk.astype(jnp.float32).transpose(0, 2, 1)  # (C, K, V)
-            return n_kv / jnp.maximum(n_kv.sum(axis=2, keepdims=True), 1.0)
+            ph = n_kv / jnp.maximum(n_kv.sum(axis=2, keepdims=True), 1.0)
+            if vocab:
+                # keep the thinned mean vocab-sharded too (pad columns are
+                # exactly 0: zero counts / max(sum, 1))
+                ph = jax.lax.with_sharding_constraint(
+                    ph, NamedSharding(mesh, P("chains", None, "data")))
+            return ph
 
         def save_block(carry, block_keys):
             st, ph, s = carry

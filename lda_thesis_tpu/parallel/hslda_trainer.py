@@ -47,6 +47,7 @@ class DistributedHSLDA(HSLDA):
         labelset: Sequence[str],
         mesh=None,
         n_chains: int = 8,
+        table_shard: str = "replicated",
         **kwargs,
     ):
         super().__init__(docs, labs, labelset, **kwargs)
@@ -57,6 +58,17 @@ class DistributedHSLDA(HSLDA):
                 f"{self.mesh.shape['chains']}"
             )
         self.n_chains = int(n_chains)
+        # table_shard="vocab" (round-5 VERDICT item 4): each chain's (V, K)
+        # table — and the thinned ph_hat — keep their V axis sharded over
+        # the data mesh axis; per-device persistent table memory drops
+        # S-fold (the axis that dominates the 64-chain north-star
+        # footprint).  Bit-identical draws to the replicated mode.
+        if table_shard not in ("replicated", "vocab"):
+            raise ValueError(f"unknown table_shard {table_shard!r}")
+        self.table_shard = table_shard
+        S = self.mesh.shape["data"]
+        self._Vp = (((self.V + S - 1) // S) * S if table_shard == "vocab"
+                    else self.V)
         self.state: Optional[HSLDAShardedState] = None
         # sharded (doc-padded) corpus copies
         self._sh_tok_v, self._sh_mask, self._sh_labs = shard_hslda_corpus(
@@ -96,6 +108,7 @@ class DistributedHSLDA(HSLDA):
                 k, self.mesh, self._sh_tok_v, self._sh_mask, self._sh_labs,
                 self.V, self.K, n_chains=self.n_chains,
                 alpha=self.alpha, aprime=self.aprime, mu=self.mu,
+                table_shard=self.table_shard,
             )
         opt = int(opt)
         if self._loops.get(opt) is None:
@@ -103,11 +116,19 @@ class DistributedHSLDA(HSLDA):
                 self.mesh, self.n_chains, self._stirling_logs,
                 D_total=self.D, alpha=self.alpha, aprime=self.aprime,
                 gamma=self.gamma, mu=self.mu, sigma=self.sigma, xi=self.xi,
-                opt=opt,
+                opt=opt, table_shard=self.table_shard, V=self.V,
             )
-        C, K, V = self.n_chains, self.K, self.V
-        ph_hat = (jnp.zeros((C, K, V), jnp.float32) if self._ph_hat is None
-                  else jnp.asarray(self._ph_hat, jnp.float32))
+        C, K = self.n_chains, self.K
+        ph_hat = (np.zeros((C, K, self._Vp), np.float32)
+                  if self._ph_hat is None
+                  else np.asarray(self._ph_hat, np.float32))
+        if self.table_shard == "vocab":
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            ph_hat = jax.device_put(
+                ph_hat, NamedSharding(self.mesh, P("chains", None, "data")))
+        else:
+            ph_hat = jnp.asarray(ph_hat)
         n_saves = jnp.int32(self._n_saves)
         # bounded dispatch chunks aligned to thinning (the tunnelled
         # compiler crashes on monolithic multi-cycle scans — e.g. the
@@ -131,7 +152,8 @@ class DistributedHSLDA(HSLDA):
 
     def _chain_ph(self) -> np.ndarray:
         """(C, K, V) per-chain unsmoothed topic-word estimates."""
-        n_kv = np.asarray(self.state.n_vk).transpose(0, 2, 1).astype(np.float64)
+        n_vk = np.asarray(self.state.n_vk)[:, : self.V]  # drop vocab padding
+        n_kv = n_vk.transpose(0, 2, 1).astype(np.float64)
         return n_kv / np.maximum(n_kv.sum(axis=2, keepdims=True), 1)
 
     # ------------------------------------------------------------ diagnostics
@@ -204,8 +226,10 @@ class DistributedHSLDA(HSLDA):
         C = self.n_chains
 
         ph = self._ph_hat if self._ph_hat is not None else self._chain_ph()
+        ph = np.asarray(ph)[:, :, : self.V]  # drop vocab padding (vocab mode)
         init_phi = jnp.asarray(ph.transpose(0, 2, 1), jnp.float32)  # (C, V, K)
-        sweep = np.asarray(self.state.n_vk).astype(np.float64) + self.gamma
+        sweep = (np.asarray(self.state.n_vk)[:, : self.V].astype(np.float64)
+                 + self.gamma)
         sweep = sweep / sweep.sum(axis=1, keepdims=True)  # normalise over V
         sweep_phi = jnp.asarray(sweep, jnp.float32)  # (C, V, K)
         alpha_beta = self.alpha * jnp.asarray(self.state.beta)  # (C, K)

@@ -101,7 +101,19 @@ def restore_sharded(path: str, model) -> Dict[str, Any]:
             jnp.asarray(arrays[name]), NamedSharding(model.mesh, spec)
         )
 
-    if table_shard == "vocab":
+    if table_shard == "vocab" and getattr(model, "_vocab_chains", False):
+        from .vocab_sharded import VocabChainsTrainState
+
+        model.state = VocabChainsTrainState(
+            z=put("z", P("chains", None, "data")),
+            n_dk=put("n_dk", P("chains", None, "data")),
+            n_vk=put("n_vk", P("chains", "data", None)),
+            n_k=put("n_k", P("chains", None)),
+            ph_hat=put("ph_hat", P("chains", "data", None)),
+            th_hat=put("th_hat", P("chains", "data", None)),
+            s=put("s", P()),
+        )
+    elif table_shard == "vocab":
         from .vocab_sharded import VocabShardedTrainState
 
         model.state = VocabShardedTrainState(
@@ -181,6 +193,7 @@ def save_hslda_sharded(path: str, model, iters_done: int = 0) -> None:
         arrays["ph_hat"] = np.asarray(model._ph_hat)
     meta = {
         "kind": "DistributedHSLDA",
+        "table_shard": getattr(model, "table_shard", "replicated"),
         "n_chains": int(model.n_chains),
         "K": int(model.K),
         "L": int(model.L),
@@ -213,8 +226,13 @@ def restore_hslda_sharded(path: str, model) -> Dict[str, Any]:
                       ("L", model.L), ("V", model.V), ("D", model.D)):
         if int(meta[name]) != int(got):
             raise ValueError(f"{name} mismatch: checkpoint {meta[name]}, model {got}")
+    table_shard = meta.get("table_shard", "replicated")
+    if table_shard != getattr(model, "table_shard", "replicated"):
+        raise ValueError(
+            f"checkpoint table_shard is {table_shard!r}, model is "
+            f"{getattr(model, 'table_shard', 'replicated')!r}")
 
-    sp = _specs(model.mesh)
+    sp = _specs(model.mesh, table_shard)
 
     def put(name, spec):
         return jax.device_put(

@@ -101,35 +101,52 @@ class DistributedLabeledLDA:
 
         # table_shard="vocab": shard the topic-word table's V axis over the
         # data mesh axis (parallel/vocab_sharded.py) — per-device persistent
-        # state drops S-fold for large V·K.  Single chain (the chains axis
-        # replicates the table, which is what this mode exists to avoid).
+        # state drops S-fold for large V·K.  Composes with chains (round-5
+        # VERDICT item 4): n_chains > 1 runs independent chains over the
+        # ``chains`` axis, each with its OWN vocab-sharded table
+        # (per-device table memory = C_local · V/S · K).
         if table_shard not in ("replicated", "vocab"):
             raise ValueError(f"unknown table_shard {table_shard!r}")
         self.table_shard = table_shard
+        self._vocab_chains = (table_shard == "vocab"
+                              and (self.n_chains > 1
+                                   or self.mesh.shape["chains"] > 1))
 
         self._key = jax.random.PRNGKey(seed)
         self._key, k0 = jax.random.split(self._key)
         if table_shard == "vocab":
             if sweep not in ("auto", "fused"):
                 raise ValueError("table_shard='vocab' uses the fused sampler")
-            if self.n_chains != 1 or self.mesh.shape["chains"] != 1:
-                raise ValueError("table_shard='vocab' supports n_chains=1 "
-                                 "(chains replicate the table)")
-            from .vocab_sharded import (
-                init_vocab_sharded_train,
-                shard_vocab_corpus,
-            )
-
             self.sweep = "fused"
             lab_ids, lab_valid = compact_labels(lab_mask)
             self.A = lab_ids.shape[1]
-            (self._tok_v_t, self._tok_f_t, self._lab_ids,
-             self._lab_valid_t) = shard_vocab_corpus(
-                self.mesh, tok_v.T, tok_f.T.astype(np.float32), lab_ids,
-                lab_valid.T)
-            self.state = init_vocab_sharded_train(
-                k0, self.mesh, tok_v, tok_f, lab_ids, lab_valid,
-                self.V, self.Kp)
+            if self._vocab_chains:
+                from .vocab_sharded import init_vocab_chains
+
+                # same corpus layout + init key scheme as the replicated
+                # chains path — the chains×vocab run draws the identical
+                # chains (integer counts: psum_scatter == psum bitwise)
+                (self._tok_v_t, self._tok_f_t, self._lab_ids,
+                 self._lab_valid_t) = shard_fused_corpus(
+                    self.mesh, tok_v, tok_f, lab_ids, lab_valid)
+                self.state = init_vocab_chains(
+                    k0, self.mesh,
+                    (self._tok_v_t, self._tok_f_t, self._lab_ids,
+                     self._lab_valid_t),
+                    self.V, self.Kp, self.n_chains)
+            else:
+                from .vocab_sharded import (
+                    init_vocab_sharded_train,
+                    shard_vocab_corpus,
+                )
+
+                (self._tok_v_t, self._tok_f_t, self._lab_ids,
+                 self._lab_valid_t) = shard_vocab_corpus(
+                    self.mesh, tok_v.T, tok_f.T.astype(np.float32), lab_ids,
+                    lab_valid.T)
+                self.state = init_vocab_sharded_train(
+                    k0, self.mesh, tok_v, tok_f, lab_ids, lab_valid,
+                    self.V, self.Kp)
             self._loop = None
             self._master_key = jax.random.fold_in(self._key, 0x5eed)
             self._sweeps_done = 0
@@ -182,15 +199,25 @@ class DistributedLabeledLDA:
         iters, thinning = int(iters), int(thinning)
         if self.table_shard == "vocab":
             from ..ops.gibbs_fused import select_merge_block
-            from .vocab_sharded import make_vocab_sharded_train_loop
+            from .vocab_sharded import (
+                make_vocab_chains_train_loop,
+                make_vocab_sharded_train_loop,
+            )
 
             if self._loop is None:
-                self._loop = make_vocab_sharded_train_loop(
-                    self.mesh, self.alpha, self.beta, self.V, self.Kp,
-                    topic_mask=self.topic_mask,
-                    corpus=(self._tok_v_t, self._tok_f_t, self._lab_ids,
-                            self._lab_valid_t),
-                )
+                corpus = (self._tok_v_t, self._tok_f_t, self._lab_ids,
+                          self._lab_valid_t)
+                if self._vocab_chains:
+                    self._loop = make_vocab_chains_train_loop(
+                        self.mesh, self.n_chains, self.alpha, self.beta,
+                        self.V, self.Kp, topic_mask=self.topic_mask,
+                        corpus=corpus,
+                    )
+                else:
+                    self._loop = make_vocab_sharded_train_loop(
+                        self.mesh, self.alpha, self.beta, self.V, self.Kp,
+                        topic_mask=self.topic_mask, corpus=corpus,
+                    )
             budget = int(total_iters) if total_iters else iters
             M = select_merge_block(self.merge_every, thinning, budget)
             self._check_merge_block(M)
@@ -246,7 +273,11 @@ class DistributedLabeledLDA:
         """(K, V) chain-pooled thinned φ̂ (reference orientation)."""
         if self.table_shard == "vocab":
             # gather-on-export: the only time the full table leaves shards
-            ph = np.asarray(self.state.ph_hat)[: self.V]  # (V, Kp)
+            ph = np.asarray(self.state.ph_hat)  # (V, Kp) or (C, Vp, Kp)
+            if self._vocab_chains:
+                ph = ph[:, : self.V].mean(axis=0)
+            else:
+                ph = ph[: self.V]
             return ph[:, : self.K].T
         ph = np.asarray(self.state.ph_hat.mean(axis=0))  # (V, Kp)
         return ph[:, : self.K].T
@@ -256,16 +287,17 @@ class DistributedLabeledLDA:
 
     def chain_phis(self) -> np.ndarray:
         """(C, K, V) per-chain thinned φ̂ — Monte-Carlo error diagnostics."""
-        if self.table_shard == "vocab":
+        if self.table_shard == "vocab" and not self._vocab_chains:
             return self.pooled_phi()[None]  # single chain
-        ph = np.asarray(self.state.ph_hat)  # (C, V, Kp)
-        return ph[:, :, : self.K].transpose(0, 2, 1)
+        ph = np.asarray(self.state.ph_hat)  # (C, V[p], Kp)
+        return ph[:, : self.V, : self.K].transpose(0, 2, 1)
 
     def mc_error(self) -> float:
         """Across-chain standard deviation of φ̂, averaged over entries."""
-        if self.table_shard == "vocab":
+        if self.table_shard == "vocab" and not self._vocab_chains:
             return 0.0  # single chain — no across-chain spread
-        return float(np.asarray(self.state.ph_hat[:, :, : self.K]).std(axis=0).mean())
+        ph = np.asarray(self.state.ph_hat)[:, : self.V, : self.K]
+        return float(ph.std(axis=0).mean())
 
     # ----------------------------------------------------------------- test
 
@@ -278,7 +310,11 @@ class DistributedLabeledLDA:
         beat any individual chain's AUC)."""
         bows = [self.dicti.doc2bow(doc) for doc in newdocs]
         tok_v, tok_f = encode_bow_types(bows)
-        if self.table_shard == "vocab":
+        if self.table_shard == "vocab" and self._vocab_chains:
+            ph = np.asarray(self.state.ph_hat)[:, : self.V]  # (C, V, Kp)
+            phi_vk = jnp.asarray(ph.mean(axis=0) if chain is None
+                                 else ph[int(chain)])
+        elif self.table_shard == "vocab":
             if chain not in (None, 0):
                 raise ValueError(
                     "table_shard='vocab' trains a single chain; per-chain "

@@ -44,9 +44,11 @@ from ..ops.gibbs_fused import (
 )
 
 __all__ = ["VocabShardedState", "VocabShardedTrainState",
+           "VocabChainsTrainState",
            "shard_vocab_corpus", "init_vocab_sharded",
            "init_vocab_sharded_train", "make_vocab_sharded_block",
-           "make_vocab_sharded_train_loop", "full_table"]
+           "make_vocab_sharded_train_loop", "full_table",
+           "init_vocab_chains", "make_vocab_chains_train_loop"]
 
 
 class VocabShardedState(NamedTuple):
@@ -281,3 +283,215 @@ def make_vocab_sharded_train_loop(
 def full_table(state: VocabShardedState) -> jax.Array:
     """(V, K) gathered table (for estimators / saves)."""
     return jnp.asarray(state.n_vk)
+
+
+# --------------------------------------------------------------------------
+# chains × vocab composition (round-5 VERDICT item 4)
+# --------------------------------------------------------------------------
+#
+# The single-chain functions above shard ONE table's V axis over ``data``.
+# Here the two multi-device modes compose: independent chains over the
+# ``chains`` mesh axis (parallel/fused_sharded.py), each chain's table
+# vocab-sharded over ``data`` — per-device persistent table state is
+# C_local × V/S × K instead of C_local × V × K.  Per merge block each chain
+# all_gathers its own table transiently (rides ICI within a data row),
+# runs M local fused sweeps per (chain, shard), and psum_scatters its
+# deltas back to the owner shards — the same collective pattern as the
+# single-chain mode, vmapped-by-unroll over local chains exactly like
+# fused_sharded._chains_body (counts are integer-valued, so psum_scatter
+# and psum produce bit-identical tables and the chains×vocab run draws the
+# SAME chains as the chains×replicated run on the same mesh —
+# tests/test_vocab_sharded.py::test_chains_vocab_matches_replicated).
+
+
+class VocabChainsTrainState(NamedTuple):
+    """Per-chain fused state with every V-sized array vocab-sharded.
+
+    ``z (C, U, Dp)`` / ``n_dk (C, A, Dp)`` — doc axis over ``data``;
+    ``n_vk / ph_hat (C, Vp, K)`` — **V axis over ``data``**, chains over
+    ``chains``; ``n_k (C, K)`` replicated per chain; ``th_hat (C, Dp, K)``
+    doc-sharded; ``s ()`` save counter."""
+
+    z: jax.Array
+    n_dk: jax.Array
+    n_vk: jax.Array
+    n_k: jax.Array
+    ph_hat: jax.Array
+    th_hat: jax.Array
+    s: jax.Array
+
+
+def _chains_vspecs():
+    return dict(
+        z=P("chains", None, "data"),
+        n_dk=P("chains", None, "data"),
+        n_vk=P("chains", "data", None),
+        n_k=P("chains", None),
+        ph_hat=P("chains", "data", None),
+        th_hat=P("chains", "data", None),
+    )
+
+
+def init_vocab_chains(
+    key, mesh: Mesh, corpus, V: int, K: int, n_chains: int,
+) -> VocabChainsTrainState:
+    """Per-(chain, shard) label-prior z init with vocab-sharded tables.
+
+    Draw-identical to fused_sharded.init_fused_sharded (same key scheme);
+    only the table merge differs: psum_scatter over ``data`` instead of
+    psum, so each shard keeps its V/S slice.
+    """
+    from ..ops.gibbs import init_counts_compact
+
+    tvt, tft, li, lvt = corpus
+    local = n_chains // mesh.shape["chains"]
+    S = mesh.shape["data"]
+    Vp = ((V + S - 1) // S) * S
+    sp = _chains_vspecs()
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(None, "data"), P(None, "data"), P("data", None),
+                  P(None, "data")),
+        out_specs=(sp["z"], sp["n_dk"], sp["n_vk"], sp["n_k"]),
+        check_vma=False,
+    )
+    def _init(key, tvt, tft, li, lvt):
+        ci = jax.lax.axis_index("chains")
+        di = jax.lax.axis_index("data")
+
+        def one_chain(j):
+            k = jax.random.fold_in(jax.random.fold_in(key, ci * 1009 + j), di)
+            c = init_counts_compact(
+                k, tvt.T, tft.T.astype(jnp.int32), li, lvt.T, V, K,
+            )
+            n_vk = jnp.pad(c.n_vk, ((0, Vp - V), (0, 0)))
+            return c.z.T, c.n_dk.T, n_vk, c.n_k
+
+        z, n_dk, n_vk, n_k = jax.vmap(one_chain)(jnp.arange(local))
+        n_vk = jax.lax.psum_scatter(n_vk, "data", scatter_dimension=1,
+                                    tiled=True)
+        n_k = jax.lax.psum(n_k, "data")
+        return z, n_dk, n_vk, n_k
+
+    z, n_dk, n_vk, n_k = jax.jit(_init)(key, tvt, tft, li, lvt)
+    C = n_chains
+    Dp = z.shape[2]
+    mk = lambda shape, spec: jax.device_put(  # noqa: E731
+        np.zeros(shape, np.float32), NamedSharding(mesh, spec))
+    return VocabChainsTrainState(
+        z=z, n_dk=n_dk, n_vk=n_vk, n_k=n_k,
+        ph_hat=mk((C, Vp, K), sp["ph_hat"]),
+        th_hat=mk((C, Dp, K), sp["th_hat"]),
+        s=jnp.int32(0),
+    )
+
+
+def _build_vblock_chains(mesh: Mesh, alpha: float, beta: float, M: int,
+                         V: int, n_chains: int):
+    """The UNJITTED shard_map'd merge block over (chains, vocab-sharded)."""
+    local = n_chains // mesh.shape["chains"]
+    vbeta = float(V) * float(beta)
+    sp = _chains_vspecs()
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), sp["z"], sp["n_dk"], sp["n_vk"], sp["n_k"],
+                  P(None, "data"), P(None, "data"), P("data", None),
+                  P(None, "data")),
+        out_specs=(sp["z"], sp["n_dk"], sp["n_vk"], sp["n_k"]),
+        check_vma=False,
+    )
+    def _block(key, z, n_dk, n_vk_local, n_k, tvt, tft, li, lvt):
+        ci = jax.lax.axis_index("chains")
+        di = jax.lax.axis_index("data")
+        # block start: each chain's transient full table view
+        n_vk_full = jax.lax.all_gather(n_vk_local, "data", axis=1, tiled=True)
+        zs, ndks, dvks, dks = [], [], [], []
+        for j in range(local):
+            k = jax.random.fold_in(jax.random.fold_in(key, ci * 1009 + j), di)
+            st = FusedLDAState(z=z[j], n_dk=n_dk[j], n_vk=n_vk_full[j],
+                               n_k=n_k[j])
+            st2 = fused_train_block(k, st, tvt, tft, li, lvt, alpha, beta, M,
+                                    vbeta=vbeta)
+            zs.append(st2.z)
+            ndks.append(st2.n_dk)
+            dvks.append(st2.n_vk - n_vk_full[j])
+            dks.append(st2.n_k - n_k[j])
+        # block end: AD-LDA merge over data + re-shard in one collective
+        d_vk = jax.lax.psum_scatter(jnp.stack(dvks), "data",
+                                    scatter_dimension=1, tiled=True)
+        d_k = jax.lax.psum(jnp.stack(dks), "data")
+        return (jnp.stack(zs), jnp.stack(ndks), n_vk_local + d_vk, n_k + d_k)
+
+    return _block
+
+
+def make_vocab_chains_train_loop(
+    mesh: Mesh, n_chains: int, alpha: float, beta: float, V: int, K: int,
+    topic_mask, corpus,
+):
+    """Whole-run jitted chains×vocab trainer — the chains analogue of
+    :func:`make_vocab_sharded_train_loop` (same scan/save structure, same
+    chunk-invariant ``fold_in(key, start + sweep_offset)`` block keys as
+    fused_sharded.make_fused_train_loop, so resume is bit-identical).
+
+    Save-time estimators stay shard-local per chain: φ̂ rows are owned by
+    the shard owning the table rows, θ̂ by the shard owning the documents.
+    """
+    tvt, tft, li, lvt = corpus
+    vbeta = float(V) * float(beta)
+    sp = _chains_vspecs()
+
+    @partial(jax.jit, static_argnames=("iters", "thinning", "M"))
+    def loop(key, state: VocabChainsTrainState, start, iters: int,
+             thinning: int, M: int):
+        if thinning % M:
+            raise ValueError(f"M={M} must divide thinning={thinning} "
+                             "(use select_merge_block)")
+        _block = _build_vblock_chains(mesh, alpha, beta, M, V, n_chains)
+        n_save = iters // thinning
+        bps = thinning // M
+        rem = iters - n_save * thinning
+        n_rem = (rem + M - 1) // M
+        offs = start + jnp.arange(max(n_save * bps + n_rem, 1),
+                                  dtype=jnp.int32) * M
+
+        def one_block(carry, off):
+            z, n_dk, n_vk, n_k = carry
+            k = jax.random.fold_in(key, off)
+            return tuple(_block(k, z, n_dk, n_vk, n_k, tvt, tft, li, lvt)), None
+
+        def save_block(carry, block_offs):
+            (z, n_dk, n_vk, n_k), ph_hat, th_hat, s = carry
+            (z, n_dk, n_vk, n_k), _ = jax.lax.scan(
+                one_block, (z, n_dk, n_vk, n_k), block_offs)
+            cur_ph = (n_vk + beta) / (n_k[:, None, :] + vbeta)
+            if topic_mask is not None:
+                cur_ph = cur_ph * topic_mask
+            cur_ph = jax.lax.with_sharding_constraint(
+                cur_ph, NamedSharding(mesh, sp["ph_hat"]))
+            cur_th = jax.vmap(
+                lambda nd: theta_from_fused(nd, li, lvt.T, alpha, K))(n_dk)
+            s = s + 1
+            ph_hat = running_average(ph_hat, cur_ph, s)
+            th_hat = running_average(th_hat, cur_th, s)
+            return ((z, n_dk, n_vk, n_k), ph_hat, th_hat, s), None
+
+        carry = ((state.z, state.n_dk, state.n_vk, state.n_k),
+                 state.ph_hat, state.th_hat, state.s)
+        if n_save:
+            carry, _ = jax.lax.scan(
+                save_block, carry, offs[: n_save * bps].reshape(n_save, bps))
+        (z, n_dk, n_vk, n_k), ph_hat, th_hat, s = carry
+        left = rem
+        for j in range(n_rem):
+            m_j = min(M, left)
+            blk = _build_vblock_chains(mesh, alpha, beta, m_j, V, n_chains)
+            k = jax.random.fold_in(key, offs[n_save * bps + j])
+            z, n_dk, n_vk, n_k = blk(k, z, n_dk, n_vk, n_k, tvt, tft, li, lvt)
+            left -= m_j
+        return VocabChainsTrainState(z=z, n_dk=n_dk, n_vk=n_vk, n_k=n_k,
+                                     ph_hat=ph_hat, th_hat=th_hat, s=s)
+
+    return loop
