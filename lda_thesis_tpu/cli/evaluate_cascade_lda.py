@@ -33,7 +33,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=None, help="RNG seed")
     p.add_argument("--threshold", type=float, default=0.95,
                    help="cascade expansion threshold")
-    p.add_argument("--root-it", type=int, default=None,
+    p.add_argument("--root-it", type=int, default=None,  # None -> 4*it (model default)
                    help="root-level Gibbs iterations (default: same as -i)")
     p.add_argument("--root-s", type=int, default=None,
                    help="root-level thinning (default: same as -s)")
