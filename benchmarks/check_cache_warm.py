@@ -3,9 +3,9 @@
 Round-3 PARITY walls contained 640 s / 924 s outliers — stale-cache
 refactors silently regressing cold users to multi-minute compiles.  This
 script re-runs every configuration `benchmarks/prewarm.py` warms, through
-the NORMAL runtime cache path (two-tier: shipped cache read via
-hardlink-seeded ~/.cache — exactly what a fresh user hits), and fails if
-any wall exceeds its threshold.
+the NORMAL runtime cache path (two-tier: shipped cache copy-seeded into
+~/.cache — exactly what a fresh user hits), and fails if any wall
+exceeds its threshold.
 
 Run on the real chip after prewarm / before shipping a refactor:
 
