@@ -28,8 +28,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from prewarm import CONFIGS  # noqa: E402
 
-# wall thresholds (s) per prewarm config, same order
-THRESHOLDS = [90, 150, 60, 120, 90, 120, 150, 90]
+# wall thresholds (s) per prewarm config, same order.  Cascade's budget
+# reflects the round-5 root-schedule default (root trains at (16; 4) at
+# the reference (4; 2) config — PARITY.md round-5 cascade section): the
+# warm wall is ~170 s of real training, not compile.
+THRESHOLDS = [90, 150, 60, 250, 90, 180, 150, 90]
 
 
 def main() -> None:
