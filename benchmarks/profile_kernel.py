@@ -104,9 +104,12 @@ def main() -> None:
                         nkg, lv_t, st.n_dk, tril)
     z1 = z1.reshape(U, D)
 
+    i16 = bool(getattr(model, "_table_i16", False))
     block = jax.jit(lambda k: gf.fused_train_block(
-        k, st, tv_t, tf_t, lab_ids, lv_t, alpha, beta, M, vbeta=vbeta))
-    gather = jax.jit(lambda: gf.gather_cv(st.n_vk, tv_t, lab_ids))
+        k, st, tv_t, tf_t, lab_ids, lv_t, alpha, beta, M, vbeta=vbeta,
+        table_i16=i16))
+    gather = jax.jit(lambda: gf.gather_cv(st.n_vk, tv_t, lab_ids,
+                                          table_i16=i16))
     kern = jax.jit(lambda u: kernel_call(
         cv_all, tf_t.reshape(U, 1, D), u.reshape(M * U, 1, D),
         st.z.reshape(U, 1, D), nkg, lv_t, st.n_dk, tril))
@@ -152,6 +155,7 @@ def main() -> None:
     artifact = {
         "config": {"D": D, "U": U, "A": A, "V": V, "K": K, "M": M,
                    "tokens_per_sweep": tokens,
+                   "table_i16": i16,
                    "device": str(jax.devices()[0]),
                    "reps": reps},
         "stage_ms_per_block": {

@@ -243,7 +243,8 @@ def _train_loop_compact(
 
 
 @partial(jax.jit, static_argnames=("iters", "thinning", "alpha", "beta",
-                                   "perplexity", "merge", "identity_slots"))
+                                   "perplexity", "merge", "identity_slots",
+                                   "table_i16"))
 def _train_loop_fused(
     key,
     state: FusedBucketState,
@@ -262,6 +263,7 @@ def _train_loop_fused(
     perplexity: bool,
     merge: int,
     identity_slots: bool = False,
+    table_i16: bool = False,
 ):
     """Fused-kernel variant of :func:`_train_loop` (ops/gibbs_fused.py).
 
@@ -289,6 +291,7 @@ def _train_loop_fused(
             fused_train_block_buckets(
                 k, state, toks_v_t, toks_f_t, lab_ids_t, lab_valid_tt,
                 alpha, beta, merge, identity_slots=identity_slots,
+                table_i16=table_i16,
             ),
             None,
         )
@@ -341,6 +344,7 @@ def _train_loop_fused(
         state = fused_train_block_buckets(
             keys[off + j], state, toks_v_t, toks_f_t, lab_ids_t,
             lab_valid_tt, alpha, beta, m_j, identity_slots=identity_slots,
+            table_i16=table_i16,
         )
         left -= m_j
     return state, ph_hat, th_hat, s, perps
@@ -411,6 +415,27 @@ def _test_loop(key, tok_v, tok_f, phi, topic_mask, it: int, thinning: int, alpha
 
 
 # --------------------------------------------------------------------------
+
+
+def _table_fits_i16(buckets) -> bool:
+    """True iff every reachable topic-word count fits int16 — each
+    ``n_vk[v, k]`` is bounded by word v's total corpus frequency (the row
+    sum is invariant), a host-known constant.  Gates the half-traffic
+    int16 block gather (ops/gibbs_fused.gather_cv(table_i16=))."""
+    total = None
+    for tv, tf in zip(buckets.tok_v, buckets.tok_f):
+        v = np.asarray(tv).reshape(-1)
+        f = np.asarray(tf).reshape(-1).astype(np.int64)
+        m = int(v.max()) + 1 if v.size else 1
+        acc = np.bincount(v, weights=f, minlength=m)
+        if total is None:
+            total = acc
+        elif len(acc) > len(total):
+            acc[: len(total)] += total
+            total = acc
+        else:
+            total[: len(acc)] += acc
+    return bool(total is not None and total.max() < 32768)
 
 
 @jax.jit
@@ -507,6 +532,7 @@ class LabeledLDA:
                 k0, self.toks_v, self.toks_f, self.lab_ids_t, self.lab_valid_t,
                 self.V, self.Kp,
             )
+            self._table_i16 = _table_fits_i16(self.buckets)
         elif sweep == "compact":
             self.lab_ids_t = tuple(
                 jnp.asarray(lab_ids[ix]) for ix in self.buckets.doc_idx
@@ -599,6 +625,7 @@ class LabeledLDA:
                 beta=self.beta,
                 perplexity=perplexity,
                 merge=int(merge),
+                table_i16=getattr(self, "_table_i16", False),
             )
         elif self.sweep == "compact":
             self.counts, self.ph_hat, th_hat_t, s, perps = _train_loop_compact(

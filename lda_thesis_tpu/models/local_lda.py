@@ -136,6 +136,9 @@ class LocalLDA:
                 k0, self.toks_v, self.toks_f, self.lab_ids_t, self.lab_valid_t,
                 self.V, self.Kp,
             )
+            from .labeled_lda import _table_fits_i16
+
+            self._table_i16 = _table_fits_i16(self.buckets)
         else:
             self.labs_t = tuple(
                 jnp.asarray(np.broadcast_to(mask, (len(ix), self.Kp)).copy())
@@ -194,6 +197,7 @@ class LocalLDA:
                 perplexity=False,
                 merge=int(merge),
                 identity_slots=True,
+                table_i16=self._table_i16,
             )
         else:
             avg0 = (

@@ -265,3 +265,46 @@ def test_identity_slots_block_bitwise_equal(M):
     np.testing.assert_array_equal(np.asarray(a.n_dk), np.asarray(b.n_dk))
     np.testing.assert_array_equal(np.asarray(a.n_vk), np.asarray(b.n_vk))
     np.testing.assert_array_equal(np.asarray(a.n_k), np.asarray(b.n_k))
+
+
+@pytest.mark.parametrize("identity", [False, True])
+def test_table_i16_gather_bitwise_equal(identity):
+    """The int16 table view (half gather traffic) draws the identical
+    chain: counts are non-negative integers bounded by each word's corpus
+    frequency, exactly representable in int16 when the caller's gate
+    holds."""
+    if identity:
+        tok_v, tok_f, lab_ids, lab_valid = _identity_problem()
+    else:
+        rng = np.random.default_rng(8)
+        tok_v = jnp.asarray(rng.integers(0, V, size=(D, U)).astype(np.int32))
+        tok_f = jnp.asarray(rng.integers(1, 4, size=(D, U)).astype(np.int32))
+        li = np.zeros((D, A), np.int32)
+        lv = np.zeros((D, A), np.float32)
+        for d in range(D):
+            ids = np.sort(rng.choice(20, size=4, replace=False))
+            li[d, :4] = ids
+            lv[d, :4] = 1.0
+        lab_ids, lab_valid = jnp.asarray(li), jnp.asarray(lv)
+    st0 = init_fused(jax.random.PRNGKey(6), tok_v, tok_f, lab_ids,
+                     lab_valid, V, K)
+    key = jax.random.PRNGKey(31)
+    kw = dict(identity_slots=identity)
+    a = fused_train_block(key, st0, tok_v.T, tok_f.T.astype(jnp.float32),
+                          lab_ids, lab_valid.T, 0.1, 0.01, 3, **kw)
+    b = fused_train_block(key, st0, tok_v.T, tok_f.T.astype(jnp.float32),
+                          lab_ids, lab_valid.T, 0.1, 0.01, 3,
+                          table_i16=True, **kw)
+    for fa, fb in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
+
+
+def test_table_i16_gate():
+    """models gate the int16 gather on the corpus' max term frequency."""
+    from lda_thesis_tpu.data.buckets import bucket_encode
+    from lda_thesis_tpu.models.labeled_lda import _table_fits_i16
+
+    small = bucket_encode([[(0, 5), (1, 3)], [(1, 4)]], n_buckets=1)
+    assert _table_fits_i16(small)
+    big = bucket_encode([[(0, 40000)], [(2, 3)]], n_buckets=1)
+    assert not _table_fits_i16(big)
