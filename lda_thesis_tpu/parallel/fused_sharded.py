@@ -122,6 +122,7 @@ def make_fused_train_loop(
     merge_every: int,
     topic_mask,
     corpus,
+    table_i16: bool = False,
 ):
     """Whole-run jitted training loop: scan over save blocks of merge
     blocks — ONE dispatch per ``run_training`` call.
@@ -145,7 +146,7 @@ def make_fused_train_loop(
             k = jax.random.fold_in(jax.random.fold_in(key, ci * 1009 + j), di)
             st = FusedLDAState(z=z[j], n_dk=n_dk[j], n_vk=n_vk[j], n_k=n_k[j])
             st2 = fused_train_block(k, st, c_tvt, c_tft, c_li, c_lvt,
-                                    alpha, beta, M)
+                                    alpha, beta, M, table_i16=table_i16)
             zs.append(st2.z)
             ndks.append(st2.n_dk)
             dvks.append(st2.n_vk - n_vk[j])

@@ -86,6 +86,11 @@ class DistributedLabeledLDA:
         bows = [dicti.doc2bow(doc) for doc in docs]
         tok_v, tok_f = encode_bow_types(bows)
         lab_mask = binarize_labels(labs, self.labelmap)
+        # int16 block-gather gate (ops/gibbs_fused.gather_cv(table_i16=)):
+        # every n_vk entry is bounded by its word's corpus frequency
+        freq = np.bincount(np.asarray(tok_v).reshape(-1),
+                           weights=np.asarray(tok_f).reshape(-1))
+        self._table_i16 = bool(freq.size and freq.max() < 32768)
         self.Kp = ((self.K + k_pad - 1) // k_pad) * k_pad
         lab_mask = np.pad(lab_mask, ((0, 0), (0, self.Kp - self.K)))
         self.topic_mask = jnp.asarray((np.arange(self.Kp) < self.K).astype(np.float32))
@@ -211,12 +216,13 @@ class DistributedLabeledLDA:
                     self._loop = make_vocab_chains_train_loop(
                         self.mesh, self.n_chains, self.alpha, self.beta,
                         self.V, self.Kp, topic_mask=self.topic_mask,
-                        corpus=corpus,
+                        corpus=corpus, table_i16=self._table_i16,
                     )
                 else:
                     self._loop = make_vocab_sharded_train_loop(
                         self.mesh, self.alpha, self.beta, self.V, self.Kp,
                         topic_mask=self.topic_mask, corpus=corpus,
+                        table_i16=self._table_i16,
                     )
             budget = int(total_iters) if total_iters else iters
             M = select_merge_block(self.merge_every, thinning, budget)
@@ -237,6 +243,7 @@ class DistributedLabeledLDA:
                     topic_mask=self.topic_mask,
                     corpus=(self._tok_v_t, self._tok_f_t, self._lab_ids,
                             self._lab_valid_t),
+                    table_i16=self._table_i16,
                 )
             from ..ops.gibbs_fused import select_merge_block
 

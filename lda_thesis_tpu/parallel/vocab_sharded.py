@@ -104,7 +104,8 @@ def init_vocab_sharded(
     )
 
 
-def _build_vblock(mesh: Mesh, alpha: float, beta: float, M: int, V: int):
+def _build_vblock(mesh: Mesh, alpha: float, beta: float, M: int, V: int,
+                  table_i16: bool = False):
     """The UNJITTED shard_map'd merge block (see make_vocab_sharded_block)."""
     vbeta = float(V) * float(beta)
 
@@ -135,7 +136,7 @@ def _build_vblock(mesh: Mesh, alpha: float, beta: float, M: int, V: int):
         st = FusedLDAState(z=z, n_dk=n_dk, n_vk=n_vk_full, n_k=n_k)
         st = fused_train_block(
             k_local, st, tok_v_t, tok_f_t, lab_ids, lab_valid_t,
-            alpha, beta, M, vbeta=vbeta,
+            alpha, beta, M, vbeta=vbeta, table_i16=table_i16,
         )
         # block end: route each shard's deltas to the rows' owner shards
         delta = st.n_vk - n_vk_full  # (V, K) local deltas, sparse in rows
@@ -149,7 +150,7 @@ def _build_vblock(mesh: Mesh, alpha: float, beta: float, M: int, V: int):
 
 
 def make_vocab_sharded_block(mesh: Mesh, alpha: float, beta: float, M: int,
-                             V: int = None):
+                             V: int = None, table_i16: bool = False):
     """Jitted merge block: all_gather table → M local fused sweeps →
     psum_scatter the vocab-axis deltas back to their owner shards.
 
@@ -165,7 +166,7 @@ def make_vocab_sharded_block(mesh: Mesh, alpha: float, beta: float, M: int,
         raise TypeError(
             "make_vocab_sharded_block requires the true vocab size V: the "
             "sharded table is padded, and V*beta must use the unpadded V")
-    _block = _build_vblock(mesh, alpha, beta, M, V)
+    _block = _build_vblock(mesh, alpha, beta, M, V, table_i16=table_i16)
 
     def block(key, state: VocabShardedState, tok_v_t, tok_f_t, lab_ids,
               lab_valid_t) -> VocabShardedState:
@@ -211,7 +212,7 @@ def init_vocab_sharded_train(
 
 def make_vocab_sharded_train_loop(
     mesh: Mesh, alpha: float, beta: float, V: int, K: int, topic_mask,
-    corpus,
+    corpus, table_i16: bool = False,
 ):
     """Whole-run jitted vocab-sharded trainer: ``lax.scan`` over save blocks
     of merge blocks with thinned φ̂/θ̂ running means updated on save
@@ -234,7 +235,8 @@ def make_vocab_sharded_train_loop(
         if thinning % M:
             raise ValueError(f"M={M} must divide thinning={thinning} "
                              "(use select_merge_block)")
-        _block = _build_vblock(mesh, alpha, beta, M, V)
+        _block = _build_vblock(mesh, alpha, beta, M, V,
+                               table_i16=table_i16)
         n_save = iters // thinning
         bps = thinning // M
         rem = iters - n_save * thinning
@@ -270,7 +272,8 @@ def make_vocab_sharded_train_loop(
         left = rem
         for j in range(n_rem):
             m_j = min(M, left)
-            blk = _build_vblock(mesh, alpha, beta, m_j, V)
+            blk = _build_vblock(mesh, alpha, beta, m_j, V,
+                                table_i16=table_i16)
             k = jax.random.fold_in(key, offs[n_save * bps + j])
             z, n_dk, n_vk, n_k = blk(k, z, n_dk, n_vk, n_k, tvt, tft, li, lvt)
             left -= m_j
@@ -388,7 +391,7 @@ def init_vocab_chains(
 
 
 def _build_vblock_chains(mesh: Mesh, alpha: float, beta: float, M: int,
-                         V: int, n_chains: int):
+                         V: int, n_chains: int, table_i16: bool = False):
     """The UNJITTED shard_map'd merge block over (chains, vocab-sharded)."""
     local = n_chains // mesh.shape["chains"]
     vbeta = float(V) * float(beta)
@@ -413,7 +416,7 @@ def _build_vblock_chains(mesh: Mesh, alpha: float, beta: float, M: int,
             st = FusedLDAState(z=z[j], n_dk=n_dk[j], n_vk=n_vk_full[j],
                                n_k=n_k[j])
             st2 = fused_train_block(k, st, tvt, tft, li, lvt, alpha, beta, M,
-                                    vbeta=vbeta)
+                                    vbeta=vbeta, table_i16=table_i16)
             zs.append(st2.z)
             ndks.append(st2.n_dk)
             dvks.append(st2.n_vk - n_vk_full[j])
@@ -429,7 +432,7 @@ def _build_vblock_chains(mesh: Mesh, alpha: float, beta: float, M: int,
 
 def make_vocab_chains_train_loop(
     mesh: Mesh, n_chains: int, alpha: float, beta: float, V: int, K: int,
-    topic_mask, corpus,
+    topic_mask, corpus, table_i16: bool = False,
 ):
     """Whole-run jitted chains×vocab trainer — the chains analogue of
     :func:`make_vocab_sharded_train_loop` (same scan/save structure, same
@@ -449,7 +452,8 @@ def make_vocab_chains_train_loop(
         if thinning % M:
             raise ValueError(f"M={M} must divide thinning={thinning} "
                              "(use select_merge_block)")
-        _block = _build_vblock_chains(mesh, alpha, beta, M, V, n_chains)
+        _block = _build_vblock_chains(mesh, alpha, beta, M, V, n_chains,
+                                      table_i16=table_i16)
         n_save = iters // thinning
         bps = thinning // M
         rem = iters - n_save * thinning
@@ -487,7 +491,8 @@ def make_vocab_chains_train_loop(
         left = rem
         for j in range(n_rem):
             m_j = min(M, left)
-            blk = _build_vblock_chains(mesh, alpha, beta, m_j, V, n_chains)
+            blk = _build_vblock_chains(mesh, alpha, beta, m_j, V, n_chains,
+                                       table_i16=table_i16)
             k = jax.random.fold_in(key, offs[n_save * bps + j])
             z, n_dk, n_vk, n_k = blk(k, z, n_dk, n_vk, n_k, tvt, tft, li, lvt)
             left -= m_j
