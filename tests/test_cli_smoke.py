@@ -105,3 +105,15 @@ def test_labeled_lda_cli_progress_and_trace(corpus_csv, capsys, tmp_path):
     # the profiler must have produced at least one artifact file
     found = [os.path.join(r, f) for r, _, fs in os.walk(trace_dir) for f in fs]
     assert found, "trace directory is empty"
+
+
+def test_labeled_lda_cli_max_restarts(corpus_csv, capsys, tmp_path):
+    """--max-restarts routes the CLI through utils/elastic.elastic_train
+    (fault-absorbing supervisor reachable from the product path)."""
+    from lda_thesis_tpu.cli.evaluate_labeled_lda import main
+
+    main(["-f", corpus_csv, "-d", "2", "-i", "4", "-s", "2", "--seed", "3",
+          "--checkpoint", str(tmp_path / "ck"), "--save-every", "2",
+          "--max-restarts", "2"])
+    out, aucs = _capture(capsys)
+    assert len(aucs) == 1 and "checkpointed at iteration 4/4" in out
