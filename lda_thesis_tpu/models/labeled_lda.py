@@ -6,12 +6,15 @@ beta)``, ``run_training(iters, thinning)``, ``run_test(newdocs, it,
 thinning)``, ``get_phi/get_theta``, ``topwords_per_topic``, ``perplexity``,
 ``get_pred(s)`` — but training/test sweeps are compiled JAX scans over dense
 count tensors (see ops/gibbs.py) instead of per-token Python loops.
-Documents can be length-bucketed (data/buckets.py, ``n_buckets`` > 1) to cut
-padding compute — exact Gibbs, just a document visiting order.  The default
-stays at one bucket: on current XLA the sweep is bound by per-scan-step
-overhead, so fewer/larger steps win (measured: 4 buckets = 3.1M tokens/s vs
-3.9M single-bucket); bucketing pays off once the Pallas kernel makes the
-inner step volume-bound.
+Documents are length-bucketed (data/buckets.py, ``n_buckets=4`` default) to
+cut padding compute — exact Gibbs, just a document visiting order.  Round 2
+kept one bucket (the sweep was bound by per-scan-step overhead, so
+fewer/larger steps won); the round-5 fused kernel is volume-bound, and the
+abstracts (U=128 padded vs mean 45 types) fill only ~35% of the single-
+bucket grid — 4 buckets cut the padded area 2.4× and measure 384–401M
+tokens/s vs 243–250M at one bucket (A/B at the bench config).  The
+thinned-average/RNG structure is unchanged; bucket layout is part of the
+draw stream, so checkpoints record and validate ``n_buckets``.
 
 Numerically deliberate deviations from the reference (documented per
 SURVEY.md §2 "bugs to not replicate"):
@@ -461,7 +464,7 @@ class LabeledLDA:
         beta: float,
         seed: int = 0,
         k_pad: int = 128,
-        n_buckets: int = 1,
+        n_buckets: int = 4,
         sweep: str = "auto",
         merge_every: int = 25,
     ):
