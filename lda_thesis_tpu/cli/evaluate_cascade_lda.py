@@ -33,10 +33,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=None, help="RNG seed")
     p.add_argument("--threshold", type=float, default=0.95,
                    help="cascade expansion threshold")
-    p.add_argument("--root-it", type=int, default=None,  # None -> 4*it (model default)
-                   help="root-level Gibbs iterations (default: same as -i)")
+    p.add_argument("--root-it", type=int, default=None,
+                   help="root-level Gibbs iterations (default: 4*iters — "
+                        "the root model sets the level-1 rows every deeper "
+                        "prediction conditions on, PARITY.md round 5; pass "
+                        "the -i value for the reference's uniform schedule)")
     p.add_argument("--root-s", type=int, default=None,
-                   help="root-level thinning (default: same as -s)")
+                   help="root-level thinning (default: 2*thinning; pass the "
+                        "-s value for the reference's uniform schedule)")
     p.add_argument("--test-it", type=int, default=None,
                    help="fold-in test iterations (default: same as -i)")
     p.add_argument("--test-s", type=int, default=None,

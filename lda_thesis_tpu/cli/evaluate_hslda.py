@@ -116,6 +116,7 @@ def main(argv=None) -> None:
         model = elastic_train(
             make_model, opt.it, opt.thinning, opt.checkpoint, save_every,
             max_restarts=opt.max_restarts, verbose=True, opt=opt.opt,
+            resume_first=opt.resume,
         )
     else:
         eg = ElasticGibbs(make_model(), opt.checkpoint, resume=opt.resume,

@@ -47,6 +47,11 @@ def build_parser() -> argparse.ArgumentParser:
                    default="auto",
                    help="Gibbs sweep kernel (auto=fused); needed e.g. to "
                         "--resume a checkpoint written with another kernel")
+    p.add_argument("--n-buckets", type=int, default=None,
+                   help="document length buckets (default: the model's 4; "
+                        "the bucket layout is part of the draw stream, so "
+                        "pass the recorded value — e.g. 1 for pre-round-5 "
+                        "checkpoints — when using --resume)")
     p.add_argument("--checkpoint", default=None, metavar="PATH",
                    help="checkpoint path prefix (writes PATH.npz + PATH.json)")
     p.add_argument("--save-every", type=int, default=0, metavar="N",
@@ -139,10 +144,15 @@ def _train_gibbs(cfg: RunConfig, opt, train):
     else:
         from ..models.labeled_lda import LabeledLDA
 
+        bucket_kw = {}
+        if getattr(opt, "n_buckets", None):
+            bucket_kw["n_buckets"] = int(opt.n_buckets)
+
         def make_model():
             return LabeledLDA(
                 train.docs, train.labs, list(train.labelset), dicti,
                 alpha=g.alpha, beta=g.beta, seed=g.seed, sweep=opt.sweep,
+                **bucket_kw,
             )
 
         train_kw = {"perplexity": not opt.no_perplexity}
@@ -156,7 +166,10 @@ def _train_gibbs(cfg: RunConfig, opt, train):
             raise SystemExit("--max-restarts requires --checkpoint")
         return elastic_train(
             make_model, g.iters, g.thinning, opt.checkpoint, save_every,
-            max_restarts=max_restarts, verbose=True, **train_kw,
+            max_restarts=max_restarts, verbose=True,
+            resume_first=opt.resume,
+            progress=True if getattr(opt, "progress", False) else None,
+            **train_kw,
         )
     eg = ElasticGibbs(make_model(), opt.checkpoint, resume=opt.resume,
                       verbose=True)

@@ -356,8 +356,17 @@ def make_hslda_train_loop(
     return loop
 
 
-def pooled_ph(state: HSLDAShardedState, gamma: float) -> jax.Array:
-    """(K, V) chain-pooled smoothed topic-word estimate."""
-    n_kv = state.n_vk.astype(jnp.float32).transpose(0, 2, 1) + gamma  # (C, K, V)
+def pooled_ph(state: HSLDAShardedState, gamma: float,
+              V: int = None) -> jax.Array:
+    """(K, V) chain-pooled smoothed topic-word estimate.
+
+    ``V`` — the TRUE vocabulary size; REQUIRED for vocab-sharded states
+    (``table_shard="vocab"`` pads the table's V axis to a multiple of the
+    shard count — smoothing the zero pad rows with γ would inflate every
+    denominator by (Vp−V)·γ and put mass on nonexistent words).  Defaults
+    to the table's own row count, exact for unpadded (replicated) states.
+    """
+    n_vk = state.n_vk if V is None else state.n_vk[:, :V]
+    n_kv = n_vk.astype(jnp.float32).transpose(0, 2, 1) + gamma  # (C, K, V)
     ph = n_kv / n_kv.sum(axis=2, keepdims=True)
     return ph.mean(axis=0)

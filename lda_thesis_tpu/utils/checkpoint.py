@@ -180,7 +180,9 @@ def restore_model(path: str, model) -> Dict[str, Any]:
         G = int(meta["n_buckets"])
         if len(model.counts.z) != G:
             raise ValueError(
-                f"bucket count mismatch: checkpoint {G}, model {len(model.counts.z)}"
+                f"bucket count mismatch: checkpoint {G}, model "
+                f"{len(model.counts.z)} (construct with n_buckets={G}; "
+                f"CLI: --n-buckets {G})"
             )
         sweep = meta.get("sweep", "dense")
         if sweep != model.sweep:
@@ -218,14 +220,18 @@ def restore_model(path: str, model) -> Dict[str, Any]:
             # round-5 ADVICE: the fused sampler's FP rounding order can
             # change between versions; chunk-invariant bit-identity only
             # holds within one formula version, so cross-version resumes
-            # warn instead of silently drawing a different chain.
+            # warn instead of silently drawing a different chain.  A
+            # missing stamp means the checkpoint predates stamping (≤ v1,
+            # whose (n_k−f)+Vβ rounding order differs from v2's by ULPs)
+            # — exactly the divergent case, so it warns too.
             got = meta.get("sampler_formula")
-            if got is not None and int(got) != SAMPLER_FORMULA_VERSION:
+            if got is None or int(got) != SAMPLER_FORMULA_VERSION:
                 import warnings
 
+                ver = "pre-v2 (unstamped)" if got is None else f"v{got}"
                 warnings.warn(
                     f"checkpoint was recorded with fused sampler formula "
-                    f"v{got}, current is v{SAMPLER_FORMULA_VERSION}: the "
+                    f"{ver}, current is v{SAMPLER_FORMULA_VERSION}: the "
                     f"resumed chain is statistically valid but not "
                     f"bit-identical to an uninterrupted run of either "
                     f"version", stacklevel=2)

@@ -68,6 +68,9 @@ class ElasticGibbs:
                 total_iters=total_iters,
                 tokens_per_iter=int(getattr(self.model, "n_tokens", 0)),
             )
+            # resumed runs start partway through: prime the counter so the
+            # [done/total] line, rate, and ETA reflect the whole run
+            progress.done = self.iters
         params = inspect.signature(self.model.run_training).parameters
         kw = {k: v for k, v in train_kw.items() if k in params}
         if "total_iters" in params:
@@ -101,6 +104,7 @@ def elastic_train(
     max_restarts: int = 3,
     on_failure: Optional[Callable[[BaseException, int], None]] = None,
     verbose: bool = False,
+    resume_first: bool = True,
     **train_kw,
 ):
     """Train to ``total_iters`` with automatic restart-from-checkpoint.
@@ -109,7 +113,22 @@ def elastic_train(
     restores whatever progress the last attempt durably checkpointed.  Up to
     ``max_restarts`` failures are absorbed; the final exception propagates.
     Returns the trained model.
+
+    ``resume_first`` — whether the FIRST attempt may resume from an
+    already-existing checkpoint at ``checkpoint``.  The CLIs pass their
+    ``--resume`` flag here so a stale checkpoint from an earlier finished
+    run is not silently adopted as "already trained"; restart attempts
+    after a fault always resume (that is the point of the supervisor).
     """
+    if not resume_first and checkpoint:
+        # a fresh (no --resume) run OVERWRITES the checkpoint path; clear
+        # any stale files now so a fault before the first save cannot make
+        # a restart attempt silently adopt a previous run's chain
+        for ext in (".npz", ".json"):
+            try:
+                os.unlink(checkpoint + ext)
+            except FileNotFoundError:
+                pass
     attempt = 0
     while True:
         eg = ElasticGibbs(make_model(), checkpoint, resume=True,

@@ -117,3 +117,27 @@ def test_labeled_lda_cli_max_restarts(corpus_csv, capsys, tmp_path):
           "--max-restarts", "2"])
     out, aucs = _capture(capsys)
     assert len(aucs) == 1 and "checkpointed at iteration 4/4" in out
+
+
+def test_labeled_lda_cli_n_buckets_resume(corpus_csv, capsys, tmp_path):
+    """--n-buckets lets a checkpoint recorded at a different bucket layout
+    (e.g. pre-round-5 n_buckets=1) be resumed from the CLI; the layout is
+    part of the draw stream so the mismatch otherwise raises."""
+    import pytest as _pytest
+
+    from lda_thesis_tpu.cli.evaluate_labeled_lda import main
+
+    ck = str(tmp_path / "nb1")
+    main(["-f", corpus_csv, "-d", "2", "-i", "2", "-s", "2", "--seed", "3",
+          "--checkpoint", ck, "--n-buckets", "1"])
+    capsys.readouterr()
+    # default model (4 buckets) cannot adopt the nb=1 checkpoint...
+    with _pytest.raises(ValueError, match="n_buckets=1"):
+        main(["-f", corpus_csv, "-d", "2", "-i", "4", "-s", "2",
+              "--seed", "3", "--checkpoint", ck, "--resume"])
+    capsys.readouterr()
+    # ...but --n-buckets 1 resumes it
+    main(["-f", corpus_csv, "-d", "2", "-i", "4", "-s", "2", "--seed", "3",
+          "--checkpoint", ck, "--resume", "--n-buckets", "1"])
+    out, aucs = _capture(capsys)
+    assert "resumed from" in out and len(aucs) == 1

@@ -95,3 +95,64 @@ def test_progress_reporting(tmp_path):
     eg.run(4, 2, save_every=2, progress=prog, perplexity=False)
     assert len(lines) == 2  # one report per chunk
     assert "tokens/s" in lines[-1] and "[4/4]" in lines[-1]
+
+
+def test_resume_first_false_ignores_stale_checkpoint(tmp_path):
+    """elastic_train(resume_first=False) must NOT silently adopt a stale
+    checkpoint as 'already trained' (round-5 review): the first attempt
+    starts fresh and the stale files are cleared so later restart attempts
+    cannot resurrect the old chain either."""
+    import os
+
+    from lda_thesis_tpu.utils.elastic import elastic_train
+
+    ckpt = str(tmp_path / "stale")
+    done = elastic_train(_make_model, total_iters=4, thinning=2,
+                         checkpoint=ckpt, save_every=2, perplexity=False)
+    stale_nvk = _counts(done)[0].copy()
+    os.utime(ckpt + ".json")
+
+    fresh = elastic_train(_make_model, total_iters=8, thinning=2,
+                          checkpoint=ckpt, save_every=2,
+                          resume_first=False, perplexity=False)
+    # a resumed run would have trained 8-4=4 more iters on the stale chain;
+    # the fresh one trains all 8 from scratch — same call structure as the
+    # supervisor's 2-iter chunks (the per-call key split is part of the
+    # draw stream)
+    oracle = _make_model()
+    for i in range(4):
+        oracle.run_training(2, 2, perplexity=False, continue_avg=i > 0,
+                            total_iters=8)
+    np.testing.assert_array_equal(_counts(fresh)[0],
+                                  np.asarray(oracle.counts.n_vk))
+    assert not np.array_equal(_counts(fresh)[0], stale_nvk)
+
+
+def test_progress_primed_on_resume(tmp_path):
+    """A resumed ElasticGibbs primes Progress with iters already done, so
+    the [done/total] line and final report cover the whole run."""
+    from lda_thesis_tpu.utils.elastic import ElasticGibbs
+
+    ckpt = str(tmp_path / "pr")
+    eg = ElasticGibbs(_make_model(), ckpt, resume=False)
+    eg.run(4, 2, save_every=2, perplexity=False)
+
+    lines = []
+    import lda_thesis_tpu.utils.tracing as tracing
+
+    orig = tracing.Progress
+
+    class CapturingProgress(orig):
+        def __init__(self, **kw):
+            super().__init__(interval=0.0, printer=lines.append,
+                             **{k: v for k, v in kw.items()
+                                if k not in ("interval", "printer")})
+
+    tracing.Progress = CapturingProgress
+    try:
+        eg2 = ElasticGibbs(_make_model(), ckpt, resume=True)
+        assert eg2.iters == 4
+        eg2.run(8, 2, save_every=2, progress=True, perplexity=False)
+    finally:
+        tracing.Progress = orig
+    assert lines and "[8/8]" in lines[-1]  # whole-run totals, not 4/8
