@@ -76,6 +76,10 @@ def main() -> None:
     ap.add_argument("--merge", type=int, default=5,
                     help="sweeps per merge block (the trainer default)")
     ap.add_argument("--backend", default="auto", choices=("auto", "cpu"))
+    ap.add_argument("--buckets", type=int, default=1,
+                    help=">1: per-bucket sharded layout "
+                         "(parallel/fused_sharded_buckets.py) — cuts the "
+                         "padded (U, D) area like the single-chip default")
     args = ap.parse_args()
 
     from lda_thesis_tpu.data.encode import compact_labels
@@ -84,6 +88,11 @@ def main() -> None:
         init_fused_sharded,
         make_fused_train_loop,
         shard_fused_corpus,
+    )
+    from lda_thesis_tpu.parallel.fused_sharded_buckets import (
+        init_bucketed_sharded,
+        make_bucketed_train_loop,
+        shard_bucketed_corpus,
     )
 
     devices = jax.devices() if args.backend == "auto" else jax.devices("cpu")
@@ -96,7 +105,16 @@ def main() -> None:
     Kp = 128 * ((labs.shape[1] + 127) // 128)
     labs_p = np.pad(labs, ((0, 0), (0, Kp - labs.shape[1])))
     lab_ids, lab_valid = compact_labels(labs_p)
-    corpus = shard_fused_corpus(mesh, tok_v, tok_f, lab_ids, lab_valid)
+    if args.buckets > 1:
+        from lda_thesis_tpu.data.buckets import bucket_encode
+
+        # rebuild bows for bucketing (lengths = distinct types per doc)
+        bows = [[(int(v), int(f)) for v, f in zip(vv, ff) if f > 0]
+                for vv, ff in zip(tok_v, tok_f)]
+        buckets = bucket_encode(bows, n_buckets=args.buckets)
+        corpus = shard_bucketed_corpus(mesh, buckets, lab_ids, lab_valid)
+    else:
+        corpus = shard_fused_corpus(mesh, tok_v, tok_f, lab_ids, lab_valid)
 
     n_sweeps = args.sweeps
     if n_sweeps % args.merge:
@@ -109,11 +127,18 @@ def main() -> None:
         if n_chains % mesh_chains:
             continue
         key = jax.random.PRNGKey(0)
-        state = init_fused_sharded(key, mesh, *corpus, V, Kp,
-                                   n_chains=n_chains)
-        loop = make_fused_train_loop(
-            mesh, n_chains, alpha=0.1, beta=0.01, merge_every=args.merge,
-            topic_mask=None, corpus=corpus)
+        if args.buckets > 1:
+            state = init_bucketed_sharded(key, mesh, corpus, V, Kp,
+                                          n_chains=n_chains)
+            loop = make_bucketed_train_loop(
+                mesh, n_chains, alpha=0.1, beta=0.01,
+                topic_mask=None, corpus=corpus)
+        else:
+            state = init_fused_sharded(key, mesh, *corpus, V, Kp,
+                                       n_chains=n_chains)
+            loop = make_fused_train_loop(
+                mesh, n_chains, alpha=0.1, beta=0.01, merge_every=args.merge,
+                topic_mask=None, corpus=corpus)
 
         def window(k, st):
             return loop(k, st, jnp.int32(0), iters=n_sweeps,
@@ -144,6 +169,7 @@ def main() -> None:
         print(json.dumps({
             "n_chains": n_chains,
             "sweep": "fused",
+            "n_buckets": args.buckets,
             "mesh": {"chains": mesh_chains, "data": 1},
             "backend": jax.default_backend(),
             "sweeps_per_window": n_sweeps,

@@ -24,15 +24,22 @@ def save_sharded(path: str, model, iters_done: int = 0) -> None:
     """Snapshot a DistributedLabeledLDA (gathers shards to host)."""
     st = model.state
     arrays: Dict[str, Any] = {
-        "z": np.asarray(st.z),
-        "n_dk": np.asarray(st.n_dk),
         "n_vk": np.asarray(st.n_vk),
         "n_k": np.asarray(st.n_k),
         "ph_hat": np.asarray(st.ph_hat),
-        "th_hat": np.asarray(st.th_hat),
         "s": np.asarray(st.s),
         "rng_key": np.asarray(model._key),
     }
+    if isinstance(st.z, tuple):
+        # bucketed layout (parallel/fused_sharded_buckets.py): one
+        # z/n_dk/th_hat entry per length bucket
+        for g in range(len(st.z)):
+            arrays[f"z_{g}"] = np.asarray(st.z[g])
+            arrays[f"n_dk_{g}"] = np.asarray(st.n_dk[g])
+            arrays[f"th_hat_{g}"] = np.asarray(st.th_hat[g])
+    else:
+        arrays.update(z=np.asarray(st.z), n_dk=np.asarray(st.n_dk),
+                      th_hat=np.asarray(st.th_hat))
     if getattr(model, "sweep", "dense") == "fused":
         # the fused path's chunk-invariant stream derives from this key +
         # the sweep counter — persist it so a resume with a different
@@ -51,6 +58,7 @@ def save_sharded(path: str, model, iters_done: int = 0) -> None:
         "beta": float(model.beta),
         "iters_done": int(iters_done),
         "merge_M": getattr(model, "_merge_M", None),
+        "n_buckets": int(getattr(model, "n_buckets", 1)),
     }
     save_checkpoint(path, arrays, meta)
 
@@ -73,10 +81,18 @@ def restore_sharded(path: str, model) -> Dict[str, Any]:
     for name, got in (("n_chains", model.n_chains), ("V", model.V), ("D", model.D)):
         if int(meta[name]) != int(got):
             raise ValueError(f"{name} mismatch: checkpoint {meta[name]}, model {got}")
-    if arrays["z"].shape != tuple(np.asarray(model.state.z).shape):
+    ckpt_buckets = int(meta.get("n_buckets", 1))
+    if ckpt_buckets != int(getattr(model, "n_buckets", 1)):
         raise ValueError(
-            f"state shape mismatch: checkpoint {arrays['z'].shape}, "
-            f"model {np.asarray(model.state.z).shape}"
+            f"bucket count mismatch: checkpoint {ckpt_buckets}, model "
+            f"{getattr(model, 'n_buckets', 1)} (construct with "
+            f"n_buckets={ckpt_buckets})")
+    z0 = arrays["z_0"] if ckpt_buckets > 1 else arrays["z"]
+    m0 = (np.asarray(model.state.z[0]) if ckpt_buckets > 1
+          else np.asarray(model.state.z))
+    if z0.shape != m0.shape:
+        raise ValueError(
+            f"state shape mismatch: checkpoint {z0.shape}, model {m0.shape}"
         )
 
     layout = meta.get("sweep", "dense")
@@ -123,6 +139,21 @@ def restore_sharded(path: str, model) -> Dict[str, Any]:
             n_k=put("n_k", P()),
             ph_hat=put("ph_hat", P("data", None)),
             th_hat=put("th_hat", P("data", None)),
+            s=put("s", P()),
+        )
+    elif layout == "fused" and ckpt_buckets > 1:
+        from .fused_sharded_buckets import BucketedShardedState
+
+        model.state = BucketedShardedState(
+            z=tuple(put(f"z_{g}", P("chains", None, "data"))
+                    for g in range(ckpt_buckets)),
+            n_dk=tuple(put(f"n_dk_{g}", P("chains", None, "data"))
+                       for g in range(ckpt_buckets)),
+            n_vk=put("n_vk", P("chains", None, None)),
+            n_k=put("n_k", P("chains", None)),
+            ph_hat=put("ph_hat", P("chains", None, None)),
+            th_hat=tuple(put(f"th_hat_{g}", P("chains", "data", None))
+                         for g in range(ckpt_buckets)),
             s=put("s", P()),
         )
     elif layout == "fused":

@@ -66,6 +66,7 @@ class DistributedLabeledLDA:
         sweep: str = "auto",
         merge_every: int = 25,
         table_shard: str = "replicated",
+        n_buckets: int = 1,
     ):
         self.alpha = float(alpha)
         self.beta = float(beta)
@@ -103,6 +104,16 @@ class DistributedLabeledLDA:
             sweep = "fused"
         self.sweep = sweep
         self.merge_every = max(int(merge_every), 1)
+        # n_buckets > 1 (opt-in): per-bucket sharded fused layout
+        # (parallel/fused_sharded_buckets.py) — cuts the padded (U, D)
+        # area like the single-chip default does; the bucket layout is
+        # part of the draw stream, so the unbucketed layout stays the
+        # distributed default and its checkpoints stay valid.
+        self.n_buckets = max(int(n_buckets), 1)
+        if self.n_buckets > 1 and (sweep != "fused"
+                                   or table_shard != "replicated"):
+            raise ValueError("n_buckets > 1 requires sweep='fused' and "
+                             "table_shard='replicated'")
 
         # table_shard="vocab": shard the topic-word table's V axis over the
         # data mesh axis (parallel/vocab_sharded.py) — per-device persistent
@@ -152,6 +163,25 @@ class DistributedLabeledLDA:
                 self.state = init_vocab_sharded_train(
                     k0, self.mesh, tok_v, tok_f, lab_ids, lab_valid,
                     self.V, self.Kp)
+            self._loop = None
+            self._master_key = jax.random.fold_in(self._key, 0x5eed)
+            self._sweeps_done = 0
+            return
+        if sweep == "fused" and self.n_buckets > 1:
+            from ..data.buckets import bucket_encode
+            from .fused_sharded_buckets import (
+                init_bucketed_sharded,
+                shard_bucketed_corpus,
+            )
+
+            lab_ids, lab_valid = compact_labels(lab_mask)
+            self.A = lab_ids.shape[1]
+            self._buckets = bucket_encode(bows, n_buckets=self.n_buckets)
+            self._corpus = shard_bucketed_corpus(
+                self.mesh, self._buckets, lab_ids, lab_valid)
+            self.state = init_bucketed_sharded(
+                k0, self.mesh, self._corpus, self.V, self.Kp,
+                n_chains=self.n_chains)
             self._loop = None
             self._master_key = jax.random.fold_in(self._key, 0x5eed)
             self._sweeps_done = 0
@@ -237,14 +267,25 @@ class DistributedLabeledLDA:
             return
         if self.sweep == "fused":
             if self._loop is None:
-                self._loop = make_fused_train_loop(
-                    self.mesh, self.n_chains, alpha=self.alpha,
-                    beta=self.beta, merge_every=self.merge_every,
-                    topic_mask=self.topic_mask,
-                    corpus=(self._tok_v_t, self._tok_f_t, self._lab_ids,
-                            self._lab_valid_t),
-                    table_i16=self._table_i16,
-                )
+                if self.n_buckets > 1:
+                    from .fused_sharded_buckets import (
+                        make_bucketed_train_loop,
+                    )
+
+                    self._loop = make_bucketed_train_loop(
+                        self.mesh, self.n_chains, alpha=self.alpha,
+                        beta=self.beta, topic_mask=self.topic_mask,
+                        corpus=self._corpus, table_i16=self._table_i16,
+                    )
+                else:
+                    self._loop = make_fused_train_loop(
+                        self.mesh, self.n_chains, alpha=self.alpha,
+                        beta=self.beta, merge_every=self.merge_every,
+                        topic_mask=self.topic_mask,
+                        corpus=(self._tok_v_t, self._tok_f_t, self._lab_ids,
+                                self._lab_valid_t),
+                        table_i16=self._table_i16,
+                    )
             from ..ops.gibbs_fused import select_merge_block
 
             budget = int(total_iters) if total_iters else iters
